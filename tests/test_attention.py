@@ -1,0 +1,146 @@
+"""Equivalence tests: Pallas kernels (interpret mode) vs jnp references.
+
+Generalizes the reference's fast-vs-naive equivalence pattern
+(rcm/networks/wan2pt1_jvp_test.py) to every custom kernel, runnable on CPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from turbodiffusion_tpu.ops.attention import (
+    dense_attention_ref, sparse_attention_ref, linear_attention,
+    get_block_map, sla_attention)
+from turbodiffusion_tpu.ops.flash_pallas import flash_attention
+from turbodiffusion_tpu.config import AttentionConfig
+
+
+def _qkv(B=1, L=300, H=2, D=64, key=0, dtype=jnp.float32):
+    ks = jax.random.split(jax.random.PRNGKey(key), 3)
+    q = jax.random.normal(ks[0], (B, L, H, D), dtype)
+    k = jax.random.normal(ks[1], (B, L, H, D), dtype)
+    v = jax.random.normal(ks[2], (B, L, H, D), dtype)
+    return q, k, v
+
+
+def test_flash_dense_matches_ref_unaligned_seq():
+    """L=300 is not a multiple of 128 — exercises padding/masking."""
+    q, k, v = _qkv(L=300)
+    ref = dense_attention_ref(q, k, v)
+    out = flash_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_flash_sparse_matches_masked_ref():
+    q, k, v = _qkv(L=300)
+    _, lut, _ = get_block_map(q, k, topk_ratio=0.5, block_q=128, block_k=128)
+    ref = sparse_attention_ref(q, k, v, lut, 128, 128)
+    out = flash_attention(q, k, v, lut=lut, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_flash_sparse_full_topk_equals_dense():
+    """topk == all blocks must reproduce dense attention exactly."""
+    q, k, v = _qkv(L=256)
+    _, lut, topk = get_block_map(q, k, topk_ratio=1.0, block_q=128, block_k=128)
+    assert topk == 2
+    ref = dense_attention_ref(q, k, v)
+    out = flash_attention(q, k, v, lut=lut, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_flash_int8_close_to_fp():
+    """SageSLA INT8-QK path: quantization noise stays small (PSNR-style)."""
+    q, k, v = _qkv(L=256)
+    ref = dense_attention_ref(q, k, v)
+    out = flash_attention(q, k, v, int8_qk=True, interpret=True)
+    err = np.abs(np.asarray(out) - np.asarray(ref))
+    rel = err.max() / np.abs(np.asarray(ref)).max()
+    assert rel < 0.05, f"int8 attention error too large: {rel}"
+
+
+def test_smooth_k_softmax_invariance():
+    """softmax(q·k) == softmax(q·(k-mean_k)) — basis of SageSLA smooth-k."""
+    q, k, v = _qkv(L=128)
+    ref = dense_attention_ref(q, k, v)
+    km = jnp.mean(k, axis=1, keepdims=True)
+    out = dense_attention_ref(q, k - km, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_block_map_topk_selection():
+    """LUT must contain the argmax blocks of the pooled smooth-k scores."""
+    q, k, _ = _qkv(L=256)
+    sparse_map, lut, topk = get_block_map(q, k, 0.5, block_q=64, block_k=64)
+    assert lut.shape == (1, 2, 4, 2) and topk == 2
+    assert sparse_map.shape == (1, 2, 4, 4)
+    # brute-force pooled scores
+    qh = np.asarray(jnp.swapaxes(q, 1, 2))
+    kh = np.asarray(jnp.swapaxes(k, 1, 2))
+    kh = kh - kh.mean(axis=2, keepdims=True)
+    pq = qh.reshape(1, 2, 4, 64, 64).mean(3)
+    pk = kh.reshape(1, 2, 4, 64, 64).mean(3)
+    score = np.einsum("bhqd,bhkd->bhqk", pq, pk)
+    best = np.argsort(-score, axis=-1)[..., :2]
+    np.testing.assert_array_equal(np.sort(np.asarray(lut), -1),
+                                  np.sort(best, -1))
+
+
+def test_linear_attention_matches_naive():
+    q, k, v = _qkv(L=64)
+    out = linear_attention(q, k, v, "softmax")
+    # naive per-head computation
+    fq = jax.nn.softmax(q, axis=-1)
+    fk = jax.nn.softmax(k, axis=-1)
+    qh, kh, vh = [np.asarray(jnp.swapaxes(t, 1, 2)) for t in (fq, fk, v)]
+    kv = np.einsum("bhmd,bhme->bhde", kh, vh)
+    ks = kh.sum(axis=2, keepdims=True)
+    naive = np.einsum("bhld,bhde->bhle", qh, kv) / (
+        1e-5 + (qh * ks).sum(-1, keepdims=True))
+    np.testing.assert_allclose(np.asarray(jnp.swapaxes(out, 1, 2)), naive,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_sla_zero_proj_l_equals_sparse_only():
+    """With proj_l zero-init (SLA/core.py:78-81), SLA output == sparse branch."""
+    q, k, v = _qkv(L=256)
+    D = q.shape[-1]
+    cfg = AttentionConfig(backend="sla", sla_topk=0.5, block_q=64, block_k=64)
+    proj_l = {"w": jnp.zeros((D, D)), "b": jnp.zeros((D,))}
+    out = sla_attention(q, k, v, proj_l, cfg)
+    _, lut, _ = get_block_map(q, k, 0.5, 64, 64)
+    ref = sparse_attention_ref(q, k, v, lut, 64, 64)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_flash_custom_vjp_matches_ref_grad():
+    q, k, v = _qkv(L=160)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, interpret=True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(dense_attention_ref(q, k, v) ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
+
+
+def test_flash_sparse_custom_vjp_runs():
+    q, k, v = _qkv(L=256)
+    _, lut, _ = get_block_map(q, k, 0.5, 128, 128)
+
+    def loss(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, lut=lut, interpret=True) ** 2)
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    assert all(np.isfinite(np.asarray(t)).all() for t in g)

@@ -1,0 +1,75 @@
+"""3D video RoPE for the Wan DiT.
+
+Reference: VideoRopePosition3DEmb (rcm/networks/wan2pt1.py:45-137) and
+rope_apply (:156-178), which uses flash-attn's interleaved rotary embedding.
+
+head_dim d is split d = dim_t + dim_h + dim_w with dim_h = dim_w = d//6*2 and
+dim_t = d - 2*dim_h (:60-64). Frequencies are concatenated [t, h, w] along the
+last axis and applied with *interleaved* pairing: pairs are (x[..., 2i],
+x[..., 2i+1]).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def rope_freqs_3d(
+    T: int,
+    H: int,
+    W: int,
+    head_dim: int,
+    h_extrapolation_ratio: float = 1.0,
+    w_extrapolation_ratio: float = 1.0,
+    t_extrapolation_ratio: float = 1.0,
+) -> jnp.ndarray:
+    """Returns angles of shape (T*H*W, head_dim//2), fp32.
+
+    Matches generate_embeddings (wan2pt1.py:87-137): per-axis NTK-scaled theta
+    10000, outer(position, freq), concatenated [t | h | w].
+    """
+    dim = head_dim
+    dim_h = dim // 6 * 2
+    dim_w = dim_h
+    dim_t = dim - 2 * dim_h
+    assert dim == dim_h + dim_w + dim_t
+
+    h_ntk = h_extrapolation_ratio ** (dim_h / (dim_h - 2))
+    w_ntk = w_extrapolation_ratio ** (dim_w / (dim_w - 2))
+    t_ntk = t_extrapolation_ratio ** (dim_t / (dim_t - 2))
+
+    def axis_freqs(n, d, theta):
+        rng = jnp.arange(0, d, 2, dtype=jnp.float32)[: d // 2] / d
+        inv = 1.0 / jnp.power(theta, rng)
+        return jnp.outer(jnp.arange(n, dtype=jnp.float32), inv)  # (n, d//2)
+
+    freqs_t = axis_freqs(T, dim_t, 10000.0 * t_ntk)  # (T, dim_t//2)
+    freqs_h = axis_freqs(H, dim_h, 10000.0 * h_ntk)  # (H, dim_h//2)
+    freqs_w = axis_freqs(W, dim_w, 10000.0 * w_ntk)  # (W, dim_w//2)
+
+    # Broadcast each axis table over the (T, H, W) grid then flatten to L.
+    ft = jnp.broadcast_to(freqs_t[:, None, None, :], (T, H, W, dim_t // 2))
+    fh = jnp.broadcast_to(freqs_h[None, :, None, :], (T, H, W, dim_h // 2))
+    fw = jnp.broadcast_to(freqs_w[None, None, :, :], (T, H, W, dim_w // 2))
+    freqs = jnp.concatenate([ft, fh, fw], axis=-1)
+    return freqs.reshape(T * H * W, dim // 2)
+
+
+def apply_rope(x: jnp.ndarray, freqs: jnp.ndarray) -> jnp.ndarray:
+    """Interleaved rotary embedding (rope_apply, wan2pt1.py:156-178).
+
+    x: (B, L, n_heads, head_dim); freqs: (L, head_dim//2) angles.
+    Pairing is interleaved: (x[..., 2i], x[..., 2i+1]) rotated by freqs[..., i].
+    Computed in fp32, cast back to x.dtype.
+    """
+    B, L, N, D = x.shape
+    cos = jnp.cos(freqs).astype(jnp.float32)  # (L, D//2)
+    sin = jnp.sin(freqs).astype(jnp.float32)
+    xf = x.astype(jnp.float32).reshape(B, L, N, D // 2, 2)
+    x_even, x_odd = xf[..., 0], xf[..., 1]
+    c = cos[None, :, None, :]
+    s = sin[None, :, None, :]
+    out_even = x_even * c - x_odd * s
+    out_odd = x_even * s + x_odd * c
+    out = jnp.stack([out_even, out_odd], axis=-1).reshape(B, L, N, D)
+    return out.astype(x.dtype)

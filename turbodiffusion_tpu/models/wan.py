@@ -1,0 +1,316 @@
+"""Wan2.1 / Wan2.2 video diffusion transformer — TPU-native functional model.
+
+Behavioral reference: rcm/networks/wan2pt1.py:489-760 (WanModel) and
+wan2pt2.py (single cross-attn; i2v via channel concat). Key design departures
+from the torch module tree:
+
+  * Pure function over a params pytree; no module surgery. Attention backend
+    and quantized linears are selected by `WanConfig`, replacing
+    inference/modify_model.py:40-81's replace_attention/replace_linear_norm.
+  * All transformer blocks are *stacked* (leading num_layers axis) and run
+    under one `jax.lax.scan`, so XLA compiles one block, not 30-40.
+  * fp32 islands preserved exactly: time embedding/projection, AdaLN
+    modulation, norms (wan2pt1.py:399-416,671-674).
+  * Context/sequence parallelism is expressed with sharding constraints on a
+    named mesh axis instead of explicit split/all-gather
+    (rcm/utils/context_parallel.py:25-94 ≡ sequence-dim sharding here).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from einops import rearrange
+
+from turbodiffusion_tpu.config import WanConfig
+from turbodiffusion_tpu.models import layers as L
+from turbodiffusion_tpu.models.rope import apply_rope, rope_freqs_3d
+from turbodiffusion_tpu.ops.attention import attention, dense_attention
+from turbodiffusion_tpu.ops.quant import linear_maybe_quant
+from turbodiffusion_tpu.parallel.sharding import constrain
+
+# CLIP context tokens for wan2.1 i2v (wan2pt1.py:41-42)
+T5_CONTEXT_TOKEN_NUMBER = 512
+
+
+# ---------------------------------------------------------------------------
+# Sub-forward functions
+# ---------------------------------------------------------------------------
+
+def _self_attention(p, x, freqs, cfg: WanConfig):
+    """WanSelfAttention (wan2pt1.py:215-277): QKV + RMSNorm-QK + RoPE + attn."""
+    B, Lx, D = x.shape
+    H, Dh = cfg.num_heads, cfg.head_dim
+    q = L.rms_norm(linear_maybe_quant(p["q"], x), p["norm_q"]["scale"], eps=cfg.eps)
+    k = L.rms_norm(linear_maybe_quant(p["k"], x), p["norm_k"]["scale"], eps=cfg.eps)
+    v = linear_maybe_quant(p["v"], x)
+    q = q.reshape(B, Lx, H, Dh)
+    k = k.reshape(B, Lx, H, Dh)
+    v = v.reshape(B, Lx, H, Dh)
+    q = apply_rope(q, freqs)
+    k = apply_rope(k, freqs)
+    # Ulysses resharding: constrain heads onto the 'context' axis for the
+    # attention op; XLA inserts the all-to-alls (≡ rcm/utils/a2a_cp.py:43-200).
+    q = constrain(q, ("data", None, "context", None))
+    k = constrain(k, ("data", None, "context", None))
+    v = constrain(v, ("data", None, "context", None))
+    o = attention(q, k, v, cfg.attention, proj_l=p.get("proj_l"))
+    o = constrain(o, ("data", "context", None, None))
+    return linear_maybe_quant(p["o"], o.reshape(B, Lx, D))
+
+
+def _cross_attention(p, x, context, cfg: WanConfig, img_context=None):
+    """WanT2VCrossAttention / WanI2VCrossAttention (wan2pt1.py:280-355).
+
+    Text K/V (512 tokens) are replicated, so no head resharding is needed —
+    matching the reference's flattened-CP observation (SURVEY §5.7)."""
+    B, Lx, D = x.shape
+    H, Dh = cfg.num_heads, cfg.head_dim
+    q = L.rms_norm(linear_maybe_quant(p["q"], x), p["norm_q"]["scale"], eps=cfg.eps)
+    k = L.rms_norm(linear_maybe_quant(p["k"], context), p["norm_k"]["scale"], eps=cfg.eps)
+    v = linear_maybe_quant(p["v"], context)
+    q = q.reshape(B, Lx, H, Dh)
+    k = k.reshape(B, -1, H, Dh)
+    v = v.reshape(B, -1, H, Dh)
+    o = dense_attention(q, k, v)
+    if img_context is not None:
+        k_img = L.rms_norm(linear_maybe_quant(p["k_img"], img_context),
+                           p["norm_k_img"]["scale"], eps=cfg.eps)
+        v_img = linear_maybe_quant(p["v_img"], img_context)
+        k_img = k_img.reshape(B, -1, H, Dh)
+        v_img = v_img.reshape(B, -1, H, Dh)
+        o = o + dense_attention(q, k_img, v_img)
+    return linear_maybe_quant(p["o"], o.reshape(B, Lx, D))
+
+
+def _ffn(p, x):
+    """Linear -> GELU(tanh) -> Linear (wan2pt1.py:364)."""
+    return linear_maybe_quant(p["fc2"], L.gelu_tanh(linear_maybe_quant(p["fc1"], x)))
+
+
+def wan_block(p, x, e0_B6D, freqs, context, cfg: WanConfig, img_context=None):
+    """WanAttentionBlock (wan2pt1.py:358-417), exact precision flow:
+    norm1 (fp32->x.dtype) -> re-upcast -> fp32 AdaLN modulate -> cast back."""
+    e = p["modulation"].astype(jnp.float32)[None] + e0_B6D  # (B, 6, D) fp32
+    e0, e1, e2, e3, e4, e5 = [e[:, i:i + 1] for i in range(6)]  # each (B,1,D)
+
+    n1 = L.layer_norm(x, eps=cfg.eps)  # non-affine, returns x.dtype
+    y = _self_attention(p["self_attn"],
+                        (n1.astype(jnp.float32) * (1 + e1) + e0).astype(x.dtype),
+                        freqs, cfg)
+    x = x + y * e2.astype(x.dtype)
+
+    if cfg.cross_attn_norm:
+        n3 = L.layer_norm(x, eps=cfg.eps, scale=p["norm3"]["scale"],
+                          bias=p["norm3"]["bias"])
+    else:
+        n3 = x
+    x = x + _cross_attention(p["cross_attn"], n3, context, cfg,
+                             img_context=img_context)
+
+    n2 = L.layer_norm(x, eps=cfg.eps)
+    y = _ffn(p["ffn"],
+             (n2.astype(jnp.float32) * (1 + e4) + e3).astype(x.dtype))
+    x = x + y * e5.astype(x.dtype)
+    return x
+
+
+def wan_head(p, x, e_B_D, cfg: WanConfig):
+    """Head (wan2pt1.py:420-454): 2-way modulated output projection, fp32."""
+    e = p["modulation"].astype(jnp.float32)[None] + e_B_D[:, None]  # (B,2,D)
+    e0, e1 = e[:, 0:1], e[:, 1:2]
+    n = L.layer_norm(x, eps=cfg.eps).astype(jnp.float32)
+    h = n * (1 + e1) + e0
+    return jnp.matmul(h, p["head"]["w"].astype(jnp.float32)) + \
+        p["head"]["b"].astype(jnp.float32)
+
+
+def _img_emb(p, image_embeds):
+    """MLPProj for CLIP image features (wan2pt1.py:457-486)."""
+    x = L.layer_norm(image_embeds, eps=1e-5, scale=p["norm1"]["scale"],
+                     bias=p["norm1"]["bias"])
+    x = L.linear(p["fc1"], x)
+    x = jax.nn.gelu(x, approximate=False)
+    x = L.linear(p["fc2"], x)
+    return L.layer_norm(x, eps=1e-5, scale=p["norm2"]["scale"],
+                        bias=p["norm2"]["bias"])
+
+
+# ---------------------------------------------------------------------------
+# Full model
+# ---------------------------------------------------------------------------
+
+def patchify(x_BCTHW, patch_size):
+    """(B,C,T,H,W) -> (B, T*H/kh*W/kw, C*kt*kh*kw) (wan2pt1.py:654-660)."""
+    kt, kh, kw = patch_size
+    return rearrange(x_BCTHW, "b c (t kt) (h kh) (w kw) -> b (t h w) (c kt kh kw)",
+                     kt=kt, kh=kh, kw=kw)
+
+
+def unpatchify(x_BLD, T, H, W, patch_size, out_dim):
+    kt, kh, kw = patch_size
+    return rearrange(x_BLD, "b (t h w) (kt kh kw d) -> b d (t kt) (h kh) (w kw)",
+                     t=T, h=H, w=W, kt=kt, kh=kh, kw=kw, d=out_dim)
+
+
+def wan_forward(params, cfg: WanConfig, x_B_C_T_H_W, timesteps_B_T,
+                crossattn_emb, y_B_C_T_H_W=None,
+                frame_cond_crossattn_emb=None):
+    """WanModel.forward (wan2pt1.py:598-721). Returns fp32 (B, out_dim, T, H, W).
+
+    x: noisy latent (B, C, T, H, W); timesteps (B, 1) in [0, 1000];
+    crossattn_emb: umT5 text embedding (B, 512, text_dim);
+    y: i2v conditioning channels, concatenated on C (wan2pt2 path);
+    frame_cond_crossattn_emb: CLIP features for wan2.1 i2v.
+    """
+    t_B = timesteps_B_T[:, 0]
+    if y_B_C_T_H_W is not None:
+        x_B_C_T_H_W = jnp.concatenate([x_B_C_T_H_W, y_B_C_T_H_W], axis=1)
+
+    kt, kh, kw = cfg.patch_size
+    B, _, T_in, H_in, W_in = x_B_C_T_H_W.shape
+    T, H, W = T_in // kt, H_in // kh, W_in // kw
+
+    x = patchify(x_B_C_T_H_W.astype(cfg.dtype), cfg.patch_size)
+    x = L.linear(params["patch_embedding"], x)
+    x = constrain(x, ("data", "context", None))
+
+    # fp32 time embedding + projection (wan2pt1.py:671-674)
+    e_B_D = L.mlp_time_embedding(params["time_embedding"], t_B, cfg.freq_dim)
+    e0_B6D = L.time_projection(params["time_projection"], e_B_D, cfg.dim)
+
+    # text context MLP (wan2pt1.py:678)
+    te = params["text_embedding"]
+    context = L.linear(te["fc2"], L.gelu_tanh(
+        L.linear(te["fc1"], crossattn_emb.astype(cfg.dtype))))
+
+    img_context = None
+    if frame_cond_crossattn_emb is not None:
+        img_context = _img_emb(params["img_emb"],
+                               frame_cond_crossattn_emb.astype(cfg.dtype)
+                               ).astype(cfg.dtype)
+
+    freqs = rope_freqs_3d(T, H, W, cfg.head_dim)  # (L, Dh/2) fp32
+
+    def block_fn(carry, blk_params):
+        out = wan_block(blk_params, carry, e0_B6D, freqs, context, cfg,
+                        img_context=img_context)
+        return out, None
+
+    if cfg.remat != "none":
+        policy = (jax.checkpoint_policies.checkpoint_dots
+                  if cfg.remat == "mm_only" else
+                  jax.checkpoint_policies.nothing_saveable)
+        block_fn = jax.checkpoint(block_fn, policy=policy)
+
+    x, _ = jax.lax.scan(block_fn, x, params["blocks"])
+
+    out = wan_head(params["head"], x, e_B_D, cfg)
+    return unpatchify(out, T, H, W, cfg.patch_size, cfg.out_dim)
+
+
+# ---------------------------------------------------------------------------
+# Parameter initialization (reference init_weights, wan2pt1.py:723-760)
+# ---------------------------------------------------------------------------
+
+def _linear_init(key, fan_in, fan_out, dtype, std=None, zero=False, bias=True):
+    kw, kb = jax.random.split(key)
+    if zero:
+        w = jnp.zeros((fan_in, fan_out), dtype)
+    elif std is not None:
+        w = (jax.random.truncated_normal(kw, -2, 2, (fan_in, fan_out)) * std
+             ).astype(dtype)
+    else:  # xavier uniform
+        limit = math.sqrt(6.0 / (fan_in + fan_out))
+        w = jax.random.uniform(kw, (fan_in, fan_out), jnp.float32,
+                               -limit, limit).astype(dtype)
+    p = {"w": w}
+    if bias:
+        p["b"] = jnp.zeros((fan_out,), dtype)
+    return p
+
+
+def init_wan_params(key, cfg: WanConfig):
+    """Random init matching the reference's schemes (trunc-normal attention
+    weights std=1/sqrt(dim), zero head, wan2pt1.py:240-250,741-760)."""
+    dtype = cfg.dtype
+    D, F = cfg.dim, cfg.ffn_dim
+    Dh = cfg.head_dim
+    std = 1.0 / math.sqrt(D)
+    keys = iter(jax.random.split(key, 16))
+
+    use_sla = cfg.attention.backend in ("sla", "sagesla")
+    has_img = cfg.arch == "wan2.1" and cfg.model_type in ("i2v", "flf2v")
+
+    def attn_params(kit, has_img=False, with_proj_l=False):
+        p = {
+            "q": _linear_init(next(kit), D, D, dtype, std=std),
+            "k": _linear_init(next(kit), D, D, dtype, std=std),
+            "v": _linear_init(next(kit), D, D, dtype, std=std),
+            "o": _linear_init(next(kit), D, D, dtype, std=std),
+            "norm_q": {"scale": jnp.ones((D,), dtype)},
+            "norm_k": {"scale": jnp.ones((D,), dtype)},
+        }
+        if has_img:
+            p["k_img"] = _linear_init(next(kit), D, D, dtype, std=std)
+            p["v_img"] = _linear_init(next(kit), D, D, dtype, std=std)
+            p["norm_k_img"] = {"scale": jnp.ones((D,), dtype)}
+        if with_proj_l:
+            # zero-init learned linear-branch projection (SLA/core.py:78-81)
+            p["proj_l"] = {"w": jnp.zeros((Dh, Dh), jnp.float32),
+                           "b": jnp.zeros((Dh,), jnp.float32)}
+        return p
+
+    def one_block(key):
+        kit = iter(jax.random.split(key, 16))
+        blk = {
+            "self_attn": attn_params(kit, with_proj_l=use_sla),
+            "cross_attn": attn_params(kit, has_img=has_img),
+            "ffn": {"fc1": _linear_init(next(kit), D, F, dtype),
+                    "fc2": _linear_init(next(kit), F, D, dtype)},
+            "modulation": (jax.random.truncated_normal(
+                next(kit), -2, 2, (6, D)) * std).astype(dtype),
+        }
+        if cfg.cross_attn_norm:
+            blk["norm3"] = {"scale": jnp.ones((D,), dtype),
+                            "bias": jnp.zeros((D,), dtype)}
+        return blk
+
+    block_keys = jax.random.split(jax.random.fold_in(key, 1), cfg.num_layers)
+    blocks = jax.vmap(one_block)(block_keys)  # stacked (num_layers, ...)
+
+    Din = cfg.in_dim * cfg.patch_size[0] * cfg.patch_size[1] * cfg.patch_size[2]
+    params = {
+        "patch_embedding": _linear_init(next(keys), Din, D, dtype),
+        "text_embedding": {
+            "fc1": _linear_init(next(keys), cfg.text_dim, D, dtype, std=0.02),
+            "fc2": _linear_init(next(keys), D, D, dtype, std=0.02),
+        },
+        "time_embedding": {
+            "fc1": _linear_init(next(keys), cfg.freq_dim, D, jnp.float32, std=0.02),
+            "fc2": _linear_init(next(keys), D, D, jnp.float32, std=0.02),
+        },
+        "time_projection": {
+            "fc": _linear_init(next(keys), D, 6 * D, jnp.float32, std=0.02),
+        },
+        "blocks": blocks,
+        "head": {
+            "head": _linear_init(
+                next(keys), D,
+                cfg.out_dim * cfg.patch_size[0] * cfg.patch_size[1] * cfg.patch_size[2],
+                jnp.float32, zero=True),
+            "modulation": (jax.random.truncated_normal(
+                next(keys), -2, 2, (2, D)) * std).astype(jnp.float32),
+        },
+    }
+    if has_img:
+        params["img_emb"] = {
+            "norm1": {"scale": jnp.ones((1280,), dtype), "bias": jnp.zeros((1280,), dtype)},
+            "fc1": _linear_init(next(keys), 1280, 1280, dtype),
+            "fc2": _linear_init(next(keys), 1280, D, dtype),
+            "norm2": {"scale": jnp.ones((D,), dtype), "bias": jnp.zeros((D,), dtype)},
+        }
+    return params

@@ -1,0 +1,198 @@
+"""Attention backends for TurboDiffusion-TPU.
+
+Public API (all layouts are (B, L, H, D), matching the reference convention
+through MinimalA2AAttnOp → local_attn, rcm/utils/a2a_cp.py:189-200):
+
+  * dense_attention(q, k, v)            — softmax attention
+  * sla_attention(q, k, v, params, cfg) — Sparse-Linear Attention: block-sparse
+    top-k softmax branch + linear-attention compensation branch with a learned
+    zero-init per-head-dim projection (SLA/core.py:38-119)
+  * get_block_map(q, k, ...)            — smooth-k mean-pooled block scoring +
+    top-k LUT (SLA/utils.py:55-67)
+
+Each backend has a pure-jnp reference implementation (used on CPU and in
+equivalence tests) and a Pallas TPU kernel fast path (ops/flash_pallas.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from turbodiffusion_tpu.config import AttentionConfig
+
+NEG_INF = -1e30
+
+
+# ---------------------------------------------------------------------------
+# Dense reference attention
+# ---------------------------------------------------------------------------
+
+def dense_attention_ref(q, k, v, scale: Optional[float] = None):
+    """Plain softmax attention, fp32 accumulation. (B, L, H, D) layout."""
+    D = q.shape[-1]
+    scale = D ** -0.5 if scale is None else scale
+    logits = jnp.einsum("blhd,bmhd->bhlm", q, k, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits * scale, axis=-1)
+    out = jnp.einsum("bhlm,bmhd->blhd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# SLA block map (SLA/utils.py:55-67)
+# ---------------------------------------------------------------------------
+
+def _mean_pool_blocks(x, blk: int):
+    """Mean over length blocks with masked tail (SLA/utils.py:21-52).
+
+    x: (B, H, L, D) -> (B, H, ceil(L/blk), D); the last block averages only
+    its valid rows.
+    """
+    B, H, L, D = x.shape
+    n_blocks = -(-L // blk)
+    pad = n_blocks * blk - L
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    xp = xp.reshape(B, H, n_blocks, blk, D)
+    sums = jnp.sum(xp.astype(jnp.float32), axis=3)
+    counts = jnp.minimum(blk, L - jnp.arange(n_blocks) * blk).astype(jnp.float32)
+    return (sums / counts[None, None, :, None]).astype(x.dtype)
+
+
+def get_block_map(q, k, topk_ratio: float, block_q: int, block_k: int):
+    """Top-k K-block selection per Q-block (SLA/utils.py:55-67).
+
+    q, k: (B, L, H, D). Returns (sparse_map, lut, topk):
+      sparse_map: (B, H, nQ, nK) int8 0/1 selection map
+      lut:        (B, H, nQ, topk) int32 selected K-block ids
+      topk:       python int = min(nK, int(topk_ratio * nK))  (floor, as in ref)
+    """
+    qh = jnp.swapaxes(q, 1, 2)  # (B, H, L, D)
+    kh = jnp.swapaxes(k, 1, 2)
+    # smooth-k: subtract per-head key mean (SageAttention technique)
+    kh = kh - jnp.mean(kh, axis=-2, keepdims=True)
+    pq = _mean_pool_blocks(qh, block_q)       # (B, H, nQ, D)
+    pk = _mean_pool_blocks(kh, block_k)       # (B, H, nK, D)
+    score = jnp.einsum("bhqd,bhkd->bhqk", pq, pk, preferred_element_type=jnp.float32)
+
+    nK = score.shape[-1]
+    topk = min(nK, int(topk_ratio * nK))
+    topk = max(topk, 1)
+    _, lut = jax.lax.top_k(score, topk)       # (B, H, nQ, topk)
+
+    one_hot = jax.nn.one_hot(lut, nK, dtype=jnp.int8)
+    sparse_map = jnp.max(one_hot, axis=-2)
+    return sparse_map, lut.astype(jnp.int32), topk
+
+
+# ---------------------------------------------------------------------------
+# Block-sparse softmax attention — jnp reference (SLA/kernel.py:22-82 semantics)
+# ---------------------------------------------------------------------------
+
+def sparse_attention_ref(q, k, v, lut, block_q: int, block_k: int,
+                         scale: Optional[float] = None):
+    """Reference block-sparse attention: each Q-block attends only to the
+    K-blocks listed in its LUT row. Masked dense implementation for testing.
+
+    q, k, v: (B, L, H, D); lut: (B, H, nQ, topk).
+    """
+    B, L, H, D = q.shape
+    Lk = k.shape[1]
+    scale = D ** -0.5 if scale is None else scale
+    nK = -(-Lk // block_k)
+
+    # allowed[b,h,i,kb] = 1 if K-block kb selected for Q-block i
+    allowed = jnp.max(jax.nn.one_hot(lut, nK, dtype=jnp.bool_), axis=-2)  # (B,H,nQ,nK)
+    # expand to token resolution
+    qb = jnp.arange(L) // block_q           # (L,)
+    kb = jnp.arange(Lk) // block_k          # (Lk,)
+    mask = allowed[:, :, qb][:, :, :, kb]   # (B, H, L, Lk)
+
+    logits = jnp.einsum("blhd,bmhd->bhlm", q, k, preferred_element_type=jnp.float32) * scale
+    logits = jnp.where(mask, logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhlm,bmhd->blhd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Linear-attention compensation branch (SLA/core.py:94-114)
+# ---------------------------------------------------------------------------
+
+def _feature_map(x, kind: str):
+    if kind == "softmax":
+        return jax.nn.softmax(x, axis=-1)
+    if kind == "elu":
+        return jax.nn.elu(x) + 1.0
+    if kind == "relu":
+        return jax.nn.relu(x)
+    raise NotImplementedError(f"feature map {kind}")
+
+
+def linear_attention(q, k, v, feature_map: str = "softmax"):
+    """o_l = (phi(q) @ (phi(k)^T v)) / (1e-5 + phi(q)·sum(phi(k)))
+    (SLA/core.py:106-110). Layout (B, L, H, D)."""
+    fq = _feature_map(q, feature_map)
+    fk = _feature_map(k, feature_map)
+    kv = jnp.einsum("bmhd,bmhe->bhde", fk, v, preferred_element_type=jnp.float32)
+    ksum = jnp.sum(fk.astype(jnp.float32), axis=1)                     # (B, H, D)
+    num = jnp.einsum("blhd,bhde->blhe", fq.astype(jnp.float32), kv)
+    den = 1e-5 + jnp.einsum("blhd,bhd->blh", fq.astype(jnp.float32), ksum)
+    return (num / den[..., None]).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Top-level dispatch
+# ---------------------------------------------------------------------------
+
+def _use_pallas() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def dense_attention(q, k, v, scale: Optional[float] = None):
+    """Dense softmax attention; Pallas flash kernel on TPU, jnp elsewhere."""
+    if _use_pallas():
+        from turbodiffusion_tpu.ops.flash_pallas import flash_attention
+        return flash_attention(q, k, v, scale=scale)
+    return dense_attention_ref(q, k, v, scale=scale)
+
+
+def sla_attention(q, k, v, proj_l, cfg: AttentionConfig,
+                  int8_qk: bool = False):
+    """Sparse-Linear Attention (SLA/core.py:38-119; Sage variant :122-258).
+
+    proj_l: {'w': (D, D), 'b': (D,)} zero-init learned projection applied to
+    the linear branch output (per head-dim, shared across heads).
+    int8_qk: SageSLA mode — quantize Q/K per block to INT8 inside the sparse
+    kernel (SageAttention-style), matching the reference's SpargeAttn path.
+    """
+    _, lut, topk = get_block_map(q, k, cfg.sla_topk, cfg.block_q, cfg.block_k)
+    if _use_pallas():
+        from turbodiffusion_tpu.ops.flash_pallas import flash_attention
+        o_s = flash_attention(q, k, v, lut=lut, block_q=cfg.block_q,
+                              block_k=cfg.block_k, int8_qk=int8_qk)
+    else:
+        o_s = sparse_attention_ref(q, k, v, lut, cfg.block_q, cfg.block_k)
+
+    o_l = linear_attention(q, k, v, cfg.feature_map)
+    # proj_l runs in the compute dtype (reference autocasts to bf16,
+    # SLA/core.py:112-113); weights stored fp32, zero-init.
+    w = proj_l["w"].astype(q.dtype)
+    b = proj_l["b"].astype(q.dtype)
+    o_l = jnp.matmul(o_l.astype(q.dtype), w) + b
+    return (o_s + o_l).astype(q.dtype)
+
+
+def attention(q, k, v, cfg: AttentionConfig, proj_l=None):
+    """Backend dispatch mirroring --attention_type (wan2.1_t2v_infer.py:51)."""
+    if cfg.backend == "dense":
+        return dense_attention(q, k, v)
+    if cfg.backend == "sla":
+        return sla_attention(q, k, v, proj_l, cfg, int8_qk=False)
+    if cfg.backend == "sagesla":
+        return sla_attention(q, k, v, proj_l, cfg, int8_qk=True)
+    raise ValueError(f"Unknown attention backend: {cfg.backend}")

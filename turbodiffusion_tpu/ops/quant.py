@@ -1,0 +1,231 @@
+"""W8A8 INT8 quantized linears.
+
+Two layouts, mirroring the reference's two generations of kernels:
+
+  * "block"     — per-128x128-block symmetric scales for both weight and
+                  activation; per-K-block rescale accumulated in fp32. This is
+                  the main repo's CuTe GEMM contract (ops/gemm/kernel.hpp:
+                  417-419, ops/quant/quant.hpp:32-154) and matches the
+                  `Int8Linear` checkpoint layout (ops/core.py:391-432):
+                  int8 weight + fp32 scale grid [cdiv(out,128), cdiv(in,128)].
+  * "postscale" — per-row activation / per-out-channel weight scales applied
+                  once in the epilogue (TurboT2AV's TileLang backend,
+                  tilelang_w8a8.py:16-117). K-continuous INT8 accumulation;
+                  on TPU this is a single s8xs8->s32 MXU `dot_general` that
+                  XLA fuses end-to-end, so it is the default fast path.
+
+Weights here are stored (in_features, out_features); the importer transposes
+torch's (out, in).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+QBLOCK = 128
+INT8_MAX = 127.0
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+# ---------------------------------------------------------------------------
+# Quantizers
+# ---------------------------------------------------------------------------
+
+def quantize_int8_block(w: jnp.ndarray, block: int = QBLOCK):
+    """Per-(block x block) symmetric quant of a (K, N) weight.
+
+    Returns (w_int8 (K, N), scale fp32 (Kb, Nb)). Mirrors the reference's
+    absmax block quantizer (ops/quant/quant.hpp:122-154)."""
+    K, N = w.shape
+    Kb, Nb = _cdiv(K, block), _cdiv(N, block)
+    wp = jnp.pad(w.astype(jnp.float32), ((0, Kb * block - K), (0, Nb * block - N)))
+    wb = wp.reshape(Kb, block, Nb, block)
+    amax = jnp.max(jnp.abs(wb), axis=(1, 3))                  # (Kb, Nb)
+    scale = jnp.maximum(amax, 1e-8) / INT8_MAX
+    q = jnp.round(wb / scale[:, None, :, None]).astype(jnp.int8)
+    q = q.reshape(Kb * block, Nb * block)[:K, :N]
+    return q, scale
+
+
+def quantize_activation_block(x: jnp.ndarray, block: int = QBLOCK):
+    """Per-(block x block) quant of activations (M, K) -> (x_q, scale (Mb,Kb))."""
+    M, K = x.shape
+    Mb, Kb = _cdiv(M, block), _cdiv(K, block)
+    xp = jnp.pad(x.astype(jnp.float32), ((0, Mb * block - M), (0, Kb * block - K)))
+    xb = xp.reshape(Mb, block, Kb, block)
+    amax = jnp.max(jnp.abs(xb), axis=(1, 3))
+    scale = jnp.maximum(amax, 1e-8) / INT8_MAX
+    q = jnp.round(xb / scale[:, None, :, None]).astype(jnp.int8)
+    return q.reshape(Mb * block, Kb * block), scale
+
+
+def quantize_int8_postscale(w: jnp.ndarray):
+    """Per-out-channel weight quant: (K, N) -> (w_int8, col_scale (N,))."""
+    amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0)
+    scale = jnp.maximum(amax, 1e-8) / INT8_MAX
+    q = jnp.round(w.astype(jnp.float32) / scale[None, :]).astype(jnp.int8)
+    return q, scale
+
+
+# ---------------------------------------------------------------------------
+# Postscale GEMM — single XLA int8 dot (MXU-native)
+# ---------------------------------------------------------------------------
+
+def int8_linear_postscale(x, w_int8, col_scale, bias=None):
+    """y = (rowquant(x) @ w_int8) * row_scale * col_scale + bias."""
+    shape = x.shape
+    x2 = x.reshape(-1, shape[-1]).astype(jnp.float32)
+    row_amax = jnp.max(jnp.abs(x2), axis=-1, keepdims=True)
+    row_scale = jnp.maximum(row_amax, 1e-8) / INT8_MAX
+    xq = jnp.round(x2 / row_scale).astype(jnp.int8)
+    acc = jax.lax.dot_general(xq, w_int8, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * row_scale * col_scale[None, :]
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.reshape(*shape[:-1], w_int8.shape[1]).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Blockwise GEMM — jnp reference + Pallas TPU kernel
+# ---------------------------------------------------------------------------
+
+def int8_block_matmul_ref(xq, xs, wq, ws, block: int = QBLOCK):
+    """fp32 reference of the per-K-block-rescaled GEMM
+    (ops/gemm/kernel.hpp:417-419). xq (M,K) int8, xs (Mb,Kb); wq (K,N) int8,
+    ws (Kb,Nb). Returns fp32 (M, N)."""
+    M, K = xq.shape
+    N = wq.shape[1]
+    Kb = _cdiv(K, block)
+    Kp = Kb * block
+    xqp = jnp.pad(xq, ((0, 0), (0, Kp - K))).astype(jnp.float32)
+    wqp = jnp.pad(wq, ((0, Kp - K), (0, 0))).astype(jnp.float32)
+    xqb = xqp.reshape(M, Kb, block)
+    wqb = wqp.reshape(Kb, block, N)
+    # per-K-block partial products, scaled then summed
+    part = jnp.einsum("mbk,bkn->bmn", xqb, wqb)               # (Kb, M, N)
+    sx = jnp.repeat(xs, block, axis=0)[:M]                    # (M, Kb)
+    sw = jnp.repeat(ws, block, axis=1)[:, :N]                 # (Kb, N)
+    scaled = part * sx.T[:, :, None] * sw[:, None, :]
+    return jnp.sum(scaled, axis=0)
+
+
+def _gemm_kernel(xq_ref, wq_ref, xs_ref, ws_ref, bias_ref, o_ref, acc_scr,
+                 *, n_k: int, out_dtype):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    prod = jax.lax.dot_general(xq_ref[...], wq_ref[...], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+    acc_scr[...] += prod.astype(jnp.float32) * (xs_ref[0, 0] * ws_ref[0, 0])
+
+    @pl.when(k == n_k - 1)
+    def _():
+        out = acc_scr[...]
+        if bias_ref is not None:
+            out = out + bias_ref[...].astype(jnp.float32)
+        o_ref[...] = out.astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret", "has_bias"))
+def _int8_block_matmul_pallas(xq, xs, wq, ws, bias, block: int = QBLOCK,
+                              has_bias: bool = True, interpret: bool = False):
+    M, K = xq.shape
+    N = wq.shape[1]
+    Mb, Kb, Nb = _cdiv(M, block), _cdiv(K, block), _cdiv(N, block)
+    xqp = jnp.pad(xq, ((0, Mb * block - M), (0, Kb * block - K)))
+    wqp = jnp.pad(wq, ((0, Kb * block - K), (0, Nb * block - N)))
+
+    in_specs = [
+        pl.BlockSpec((block, block), lambda m, n, k: (m, k)),
+        pl.BlockSpec((block, block), lambda m, n, k: (k, n)),
+        pl.BlockSpec((1, 1), lambda m, n, k: (m, k), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1), lambda m, n, k: (k, n), memory_space=pltpu.SMEM),
+    ]
+    args = [xqp, wqp, xs, ws]
+    if has_bias:
+        in_specs.append(pl.BlockSpec((1, block), lambda m, n, k: (0, n)))
+        bp = jnp.pad(bias.astype(jnp.float32), (0, Nb * block - N))
+        args.append(bp.reshape(1, -1))
+
+        def kernel(xq_ref, wq_ref, xs_ref, ws_ref, bias_ref, o_ref, acc_scr):
+            _gemm_kernel(xq_ref, wq_ref, xs_ref, ws_ref, bias_ref, o_ref,
+                         acc_scr, n_k=Kb, out_dtype=jnp.float32)
+    else:
+        def kernel(xq_ref, wq_ref, xs_ref, ws_ref, o_ref, acc_scr):
+            _gemm_kernel(xq_ref, wq_ref, xs_ref, ws_ref, None, o_ref, acc_scr,
+                         n_k=Kb, out_dtype=jnp.float32)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(Mb, Nb, Kb),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((block, block), lambda m, n, k: (m, n)),
+        out_shape=jax.ShapeDtypeStruct((Mb * block, Nb * block), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((block, block), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(*args)
+    return out[:M, :N]
+
+
+def int8_linear_block(x, w_int8, scale, bias=None, block: int = QBLOCK):
+    """Dynamic-activation-quant W8A8 linear with blockwise scales
+    (≡ Int8Linear.forward, ops/core.py:405-412)."""
+    shape = x.shape
+    x2 = x.reshape(-1, shape[-1])
+    xq, xs = quantize_activation_block(x2, block)
+    xq = xq[:, :x2.shape[1]]
+    if jax.default_backend() == "tpu":
+        y = _int8_block_matmul_pallas(xq, xs, w_int8, scale,
+                                      bias if bias is not None else None,
+                                      block=block, has_bias=bias is not None)
+    else:
+        y = int8_block_matmul_ref(xq, xs, w_int8, scale, block)
+        if bias is not None:
+            y = y + bias.astype(jnp.float32)
+    return y.reshape(*shape[:-1], w_int8.shape[1]).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Dispatch + param converters
+# ---------------------------------------------------------------------------
+
+def linear_maybe_quant(p, x):
+    """Apply a linear whose params may be float, block-quant, or postscale."""
+    if "w" in p:
+        y = jnp.matmul(x, p["w"].astype(x.dtype))
+        if p.get("b") is not None:
+            y = y + p["b"].astype(y.dtype)
+        return y
+    b = p.get("b")
+    if p["scale"].ndim == 1:
+        return int8_linear_postscale(x, p["w_int8"], p["scale"], bias=b)
+    return int8_linear_block(x, p["w_int8"], p["scale"], bias=b)
+
+
+def quantize_linear_params(p, mode: str = "block"):
+    """Convert {'w','b'} float linear params to a quantized layout
+    (≡ Int8Linear.from_linear, ops/core.py:414-432)."""
+    if "w" not in p:
+        return p
+    if mode == "postscale":
+        q, s = quantize_int8_postscale(p["w"])
+    else:
+        q, s = quantize_int8_block(p["w"])
+    out = {"w_int8": q, "scale": s}
+    if p.get("b") is not None:
+        out["b"] = p["b"]
+    return out

@@ -1,0 +1,55 @@
+"""Training steps.
+
+Currently: the SLA white-box finetune objective — MSE between the student's
+velocity prediction and a target velocity at RectifiedFlow-noised inputs
+(reference: rcm/models/t2v_model_sla.py:300-336). The rCM distillation phases
+(sCM via jax.jvp, DMD, critic) build on this scaffold.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from turbodiffusion_tpu.config import WanConfig
+from turbodiffusion_tpu.models.wan import wan_forward
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_optimizer(lr: float = 1e-5, weight_decay: float = 1e-4,
+                   b1: float = 0.9, b2: float = 0.95):
+    """AdamW ≡ the reference's FusedAdam with fp32 master weights
+    (imaginaire/utils/fused_adam.py); optax keeps moments in fp32."""
+    return optax.adamw(lr, b1=b1, b2=b2, weight_decay=weight_decay)
+
+
+def sla_finetune_loss(params, cfg: WanConfig, batch, key):
+    """White-box SLA loss: student (sparse attention) regresses the dense
+    teacher's velocity. batch: {'latents', 'teacher_velocity',
+    't5_text_embeddings', 'timesteps'} (t2v_model_sla.py:300-336)."""
+    x = batch["latents"]
+    t = batch["timesteps"]          # (B, 1) in [0, 1000]
+    v_pred = wan_forward(params, cfg, x, t, batch["t5_text_embeddings"])
+    target = batch["teacher_velocity"].astype(jnp.float32)
+    return jnp.mean((v_pred - target) ** 2)
+
+
+def make_train_step(cfg: WanConfig, optimizer):
+    @jax.jit
+    def train_step(state: TrainState, batch, key):
+        loss, grads = jax.value_and_grad(sla_finetune_loss)(
+            state.params, cfg, batch, key)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+    return train_step
