@@ -1,0 +1,89 @@
+"""W8A8 quantization tests: quantizer fidelity, GEMM reference, Pallas parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from turbodiffusion_tpu.ops.quant import (
+    int8_block_matmul_ref, int8_linear_block, int8_linear_postscale,
+    linear_maybe_quant, quantize_activation_block, quantize_int8_block,
+    quantize_int8_postscale, quantize_linear_params, quantize_wan_blocks)
+
+
+def test_block_quant_dequant_error():
+    w = jax.random.normal(jax.random.PRNGKey(0), (200, 300))
+    q, s = quantize_int8_block(w)
+    deq = np.asarray(q, np.float32)
+    sr = np.repeat(np.repeat(np.asarray(s), 128, 0), 128, 1)[:200, :300]
+    rel = np.abs(deq * sr - np.asarray(w)).max() / np.abs(np.asarray(w)).max()
+    assert rel < 0.01  # 1/127 per-block relative error bound
+
+
+def test_block_gemm_ref_close_to_float():
+    kx, kw = jax.random.split(jax.random.PRNGKey(1))
+    x = jax.random.normal(kx, (64, 256))
+    w = jax.random.normal(kw, (256, 128))
+    wq, ws = quantize_int8_block(w)
+    xq, xs = quantize_activation_block(x)
+    y = int8_block_matmul_ref(xq[:64, :256], xs, wq, ws)
+    ref = np.asarray(x) @ np.asarray(w)
+    rel = np.abs(np.asarray(y) - ref).max() / np.abs(ref).max()
+    assert rel < 0.05, rel
+
+
+def test_postscale_close_to_float():
+    kx, kw = jax.random.split(jax.random.PRNGKey(2))
+    x = jax.random.normal(kx, (10, 64, 256))
+    w = jax.random.normal(kw, (256, 128))
+    b = jax.random.normal(jax.random.PRNGKey(3), (128,))
+    wq, ws = quantize_int8_postscale(w)
+    y = int8_linear_postscale(x, wq, ws, bias=b)
+    ref = np.asarray(x) @ np.asarray(w) + np.asarray(b)
+    rel = np.abs(np.asarray(y) - ref).max() / np.abs(ref).max()
+    assert rel < 0.05, rel
+
+
+def test_int8_linear_block_matches_ref_path():
+    """linear_maybe_quant block path == Int8Linear.forward semantics
+    (ops/core.py:405-412) within quantization tolerance."""
+    kx, kw = jax.random.split(jax.random.PRNGKey(4))
+    x = jax.random.normal(kx, (2, 32, 256))
+    w = jax.random.normal(kw, (256, 192))
+    p = quantize_linear_params({"w": w, "b": jnp.zeros((192,))}, mode="block")
+    y = linear_maybe_quant(p, x)
+    ref = np.asarray(x) @ np.asarray(w)
+    rel = np.abs(np.asarray(y) - ref).max() / np.abs(ref).max()
+    assert rel < 0.05, rel
+
+
+def test_quantize_wan_blocks_skips_proj_l():
+    from turbodiffusion_tpu.config import AttentionConfig, wan_test_config
+    from turbodiffusion_tpu.models.wan import init_wan_params
+    cfg = wan_test_config(attention=AttentionConfig(backend="sla",
+                                                    sla_topk=0.5,
+                                                    block_q=8, block_k=8))
+    params = init_wan_params(jax.random.PRNGKey(0), cfg)
+    blocks = quantize_wan_blocks(params["blocks"], mode="postscale")
+    assert "w_int8" in blocks["self_attn"]["q"]
+    assert "w_int8" in blocks["ffn"]["fc1"]
+    assert "w" in blocks["self_attn"]["proj_l"]  # untouched
+
+
+def test_quantized_wan_forward_close_to_float():
+    from turbodiffusion_tpu.config import wan_test_config
+    from turbodiffusion_tpu.models.wan import init_wan_params, wan_forward
+    cfg = wan_test_config()
+    params = init_wan_params(jax.random.PRNGKey(0), cfg)
+    params["head"]["head"]["w"] = jnp.ones_like(params["head"]["head"]["w"]) * 0.02
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 2, 4, 4))
+    t = jnp.full((1, 1), 500.0)
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, cfg.text_len, cfg.text_dim))
+    ref = wan_forward(params, cfg, x, t, ctx)
+
+    qparams = dict(params)
+    qparams["blocks"] = quantize_wan_blocks(params["blocks"], mode="postscale")
+    out = wan_forward(qparams, cfg, x, t, ctx)
+    err = np.abs(np.asarray(out) - np.asarray(ref))
+    rel = err.max() / (np.abs(np.asarray(ref)).max() + 1e-8)
+    assert rel < 0.15, rel  # accumulated per-layer quant noise stays bounded

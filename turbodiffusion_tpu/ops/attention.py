@@ -149,13 +149,20 @@ def linear_attention(q, k, v, feature_map: str = "softmax"):
 # Top-level dispatch
 # ---------------------------------------------------------------------------
 
-def _use_pallas() -> bool:
-    return jax.default_backend() == "tpu"
+def _use_pallas(q, *block_sizes) -> bool:
+    """Use the Pallas kernels only on TPU with MXU-compatible geometry;
+    tiny test models fall back to the jnp reference path."""
+    if jax.default_backend() != "tpu":
+        return False
+    D = q.shape[-1]
+    if D % 64 != 0:
+        return False
+    return all(b >= 128 for b in block_sizes) if block_sizes else True
 
 
 def dense_attention(q, k, v, scale: Optional[float] = None):
     """Dense softmax attention; Pallas flash kernel on TPU, jnp elsewhere."""
-    if _use_pallas():
+    if _use_pallas(q):
         from turbodiffusion_tpu.ops.flash_pallas import flash_attention
         return flash_attention(q, k, v, scale=scale)
     return dense_attention_ref(q, k, v, scale=scale)
@@ -171,7 +178,7 @@ def sla_attention(q, k, v, proj_l, cfg: AttentionConfig,
     kernel (SageAttention-style), matching the reference's SpargeAttn path.
     """
     _, lut, topk = get_block_map(q, k, cfg.sla_topk, cfg.block_q, cfg.block_k)
-    if _use_pallas():
+    if _use_pallas(q, cfg.block_q, cfg.block_k):
         from turbodiffusion_tpu.ops.flash_pallas import flash_attention
         o_s = flash_attention(q, k, v, lut=lut, block_q=cfg.block_q,
                               block_k=cfg.block_k, int8_qk=int8_qk)

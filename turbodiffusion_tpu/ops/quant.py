@@ -43,7 +43,10 @@ def quantize_int8_block(w: jnp.ndarray, block: int = QBLOCK):
     """Per-(block x block) symmetric quant of a (K, N) weight.
 
     Returns (w_int8 (K, N), scale fp32 (Kb, Nb)). Mirrors the reference's
-    absmax block quantizer (ops/quant/quant.hpp:122-154)."""
+    absmax block quantizer (ops/quant/quant.hpp:122-154). Leading batch dims
+    (stacked layers) are vmapped."""
+    if w.ndim > 2:
+        return jax.vmap(lambda x: quantize_int8_block(x, block))(w)
     K, N = w.shape
     Kb, Nb = _cdiv(K, block), _cdiv(N, block)
     wp = jnp.pad(w.astype(jnp.float32), ((0, Kb * block - K), (0, Nb * block - N)))
@@ -68,7 +71,10 @@ def quantize_activation_block(x: jnp.ndarray, block: int = QBLOCK):
 
 
 def quantize_int8_postscale(w: jnp.ndarray):
-    """Per-out-channel weight quant: (K, N) -> (w_int8, col_scale (N,))."""
+    """Per-out-channel weight quant: (K, N) -> (w_int8, col_scale (N,)).
+    Leading batch dims (stacked layers) are vmapped."""
+    if w.ndim > 2:
+        return jax.vmap(quantize_int8_postscale)(w)
     amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0)
     scale = jnp.maximum(amax, 1e-8) / INT8_MAX
     q = jnp.round(w.astype(jnp.float32) / scale[None, :]).astype(jnp.int8)
@@ -187,7 +193,7 @@ def int8_linear_block(x, w_int8, scale, bias=None, block: int = QBLOCK):
     shape = x.shape
     x2 = x.reshape(-1, shape[-1])
     xq, xs = quantize_activation_block(x2, block)
-    xq = xq[:, :x2.shape[1]]
+    xq = xq[:x2.shape[0], :x2.shape[1]]
     if jax.default_backend() == "tpu":
         y = _int8_block_matmul_pallas(xq, xs, w_int8, scale,
                                       bias if bias is not None else None,
@@ -214,6 +220,20 @@ def linear_maybe_quant(p, x):
     if p["scale"].ndim == 1:
         return int8_linear_postscale(x, p["w_int8"], p["scale"], bias=b)
     return int8_linear_block(x, p["w_int8"], p["scale"], bias=b)
+
+
+def quantize_wan_blocks(blocks, mode: str = "block"):
+    """Quantize every Linear inside the transformer blocks, skipping the SLA
+    `proj_l` compensation projection — mirrors replace_linear_norm's
+    skip_layer='proj_l' rule (inference/modify_model.py:56-81)."""
+    out = jax.tree.map(lambda x: x, blocks)  # shallow copy
+    for attn in ("self_attn", "cross_attn"):
+        for name in ("q", "k", "v", "o", "k_img", "v_img"):
+            if name in out[attn]:
+                out[attn][name] = quantize_linear_params(out[attn][name], mode)
+    for name in ("fc1", "fc2"):
+        out["ffn"][name] = quantize_linear_params(out["ffn"][name], mode)
+    return out
 
 
 def quantize_linear_params(p, mode: str = "block"):

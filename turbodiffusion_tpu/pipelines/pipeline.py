@@ -1,0 +1,270 @@
+"""High-level generation pipelines (T2V / I2V).
+
+Mirrors the reference inference scripts' behavior
+(inference/wan2.1_t2v_infer.py, inference/wan2.2_i2v_infer.py) and the serve
+module's resident-model pipeline (serve/pipeline.py), rebuilt around jitted
+JAX functions:
+
+  * the whole num_steps sampling loop + DiT forwards compile to ONE XLA
+    program per (shape, steps) signature;
+  * models stay resident as device arrays; the I2V two-expert "swap" is
+    static step->expert selection at trace time (the RF boundary schedule is
+    known statically), not CPU offload (wan2.2_i2v_infer.py:187-197).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from turbodiffusion_tpu.config import (
+    AttentionConfig, GenerationConfig, VIDEO_RES_SIZE_INFO, WanConfig,
+    wan_config)
+from turbodiffusion_tpu.models.umt5 import (
+    UMT5Config, init_umt5_params, tokenize, umt5_embed_padded)
+from turbodiffusion_tpu.models.vae import (
+    VAEConfig, init_vae_params, vae_decode, vae_encode)
+from turbodiffusion_tpu.models.wan import init_wan_params, wan_forward
+from turbodiffusion_tpu.ops.quant import quantize_wan_blocks
+from turbodiffusion_tpu.pipelines.sampler import rcm_timesteps
+from turbodiffusion_tpu.utils.checkpoint import (
+    load_torch_state_dict, strip_prefix, umt5_params_from_state_dict,
+    vae_params_from_state_dict, wan_params_from_state_dict)
+
+
+def make_wan_cfg(model: str, attention_type: str = "sagesla",
+                 sla_topk: float = 0.1, quant_linear: bool = False) -> WanConfig:
+    """Build a WanConfig from the reference CLI flag surface
+    (wan2.1_t2v_infer.py:35-55)."""
+    backend = attention_type if attention_type in ("sla", "sagesla") else "dense"
+    attn = AttentionConfig(backend=backend, sla_topk=sla_topk,
+                           block_q=8 if model == "test" else 128,
+                           block_k=8 if model == "test" else 128)
+    if model == "test":
+        from turbodiffusion_tpu.config import wan_test_config
+        return wan_test_config(attention=attn, quant_linear=quant_linear)
+    return wan_config(model, attention=attn, quant_linear=quant_linear)
+
+
+def load_dit(dit_path: Optional[str], cfg: WanConfig, seed: int = 0):
+    """create_model analog (modify_model.py:130-141): load + optionally
+    quantize. dit_path=None -> random weights (checkpoint-free smoke runs)."""
+    if dit_path is None:
+        params = init_wan_params(jax.random.PRNGKey(seed), cfg)
+    else:
+        sd = strip_prefix(load_torch_state_dict(dit_path))
+        params = wan_params_from_state_dict(sd, cfg)
+    if cfg.quant_linear and "w_int8" not in params["blocks"]["self_attn"]["q"]:
+        params["blocks"] = quantize_wan_blocks(params["blocks"],
+                                               mode="postscale")
+    return params
+
+
+class TextEncoder:
+    """umT5 embedding service (get_umt5_embedding, rcm/utils/umt5.py:524).
+    Load lazily, free explicitly (clear_umt5_memory analog)."""
+
+    def __init__(self, checkpoint_path: Optional[str], text_len: int = 512,
+                 cfg: Optional[UMT5Config] = None):
+        self.cfg = cfg if cfg is not None else UMT5Config(text_len=text_len)
+        self.checkpoint_path = checkpoint_path
+        self.params = None
+
+    def load(self):
+        if self.params is None:
+            if self.checkpoint_path is None:
+                self.params = init_umt5_params(jax.random.PRNGKey(7), self.cfg)
+            else:
+                sd = load_torch_state_dict(self.checkpoint_path)
+                self.params = umt5_params_from_state_dict(
+                    sd, self.cfg.num_layers)
+        return self
+
+    def __call__(self, prompts) -> jnp.ndarray:
+        self.load()
+        try:
+            ids, mask = tokenize(prompts, self.cfg.text_len)
+        except Exception:
+            # zero-egress fallback: hash-tokenize so checkpoint-free smoke
+            # runs still produce deterministic embeddings per prompt
+            if isinstance(prompts, str):
+                prompts = [prompts]
+            ids = np.zeros((len(prompts), self.cfg.text_len), np.int32)
+            mask = np.zeros_like(ids)
+            for b, p in enumerate(prompts):
+                toks = [hash(w) % self.cfg.vocab_size for w in p.split()][
+                    : self.cfg.text_len]
+                ids[b, :len(toks)] = toks
+                mask[b, :len(toks)] = 1
+            ids, mask = jnp.asarray(ids), jnp.asarray(mask)
+        return umt5_embed_padded(self.params, ids, mask, self.cfg)
+
+    def free(self):
+        self.params = None
+
+
+@dataclass(eq=False)
+class WanPipeline:
+    """Resident T2V/I2V pipeline (serve/pipeline.py analog)."""
+
+    cfg: WanConfig
+    params: Any
+    vae_params: Any
+    text_encoder: TextEncoder
+    params_low: Any = None      # I2V low-noise expert (Wan2.2 two-expert)
+    vae_cfg: VAEConfig = VAEConfig()
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def create(cls, model: str = "Wan2.1-1.3B", dit_path: Optional[str] = None,
+               low_noise_path: Optional[str] = None,
+               vae_path: Optional[str] = None,
+               text_encoder_path: Optional[str] = None,
+               attention_type: str = "sagesla", sla_topk: float = 0.1,
+               quant_linear: bool = False, seed: int = 0):
+        cfg = make_wan_cfg(model, attention_type, sla_topk, quant_linear)
+        params = load_dit(dit_path, cfg, seed)
+        params_low = (load_dit(low_noise_path, cfg, seed + 1)
+                      if (low_noise_path is not None or
+                          cfg.model_type == "i2v") else None)
+        if vae_path is None:
+            vae_params = init_vae_params(jax.random.PRNGKey(3), VAEConfig())
+        else:
+            vae_params = vae_params_from_state_dict(
+                load_torch_state_dict(vae_path))
+        if model == "test":
+            from turbodiffusion_tpu.models.umt5 import umt5_test_config
+            from turbodiffusion_tpu.models.vae import VAEConfig as _VC
+            import jax.numpy as _jnp
+            te = TextEncoder(text_encoder_path, cfg=umt5_test_config(
+                dim=cfg.text_dim, text_len=cfg.text_len))
+            vae_params = init_vae_params(jax.random.PRNGKey(3),
+                                         _VC(dim=16, dtype=_jnp.float32))
+        else:
+            te = TextEncoder(text_encoder_path)
+        return cls(cfg=cfg, params=params, vae_params=vae_params,
+                   text_encoder=te, params_low=params_low)
+
+    # ------------------------------------------------------------------
+    def _denoise_latents(self, params_per_step, x, text_emb, t_steps, key,
+                         ode: bool, y=None):
+        """Shared sampling loop; params_per_step[i] picks the expert."""
+        cfg = self.cfg
+        for i in range(len(t_steps) - 1):
+            t_cur, t_next = t_steps[i], t_steps[i + 1]
+            tt = jnp.full((x.shape[0], 1), t_cur * 1000.0, jnp.float32)
+            v = wan_forward(params_per_step[i], cfg, x, tt, text_emb,
+                            y_B_C_T_H_W=y).astype(jnp.float32)
+            if ode:
+                x = x - (t_cur - t_next) * v
+            else:
+                key, sub = jax.random.split(key)
+                noise = jax.random.normal(sub, x.shape, jnp.float32)
+                x = (1.0 - t_next) * (x - t_cur * v) + t_next * noise
+        return x
+
+    @functools.partial(jax.jit, static_argnames=("self", "num_steps",
+                                                 "sigma_max", "ode"))
+    def _t2v_jit(self, params, vae_params, text_emb, noise, key,
+                 num_steps: int, sigma_max: float, ode: bool):
+        t_steps = rcm_timesteps(num_steps, sigma_max)
+        x = noise * t_steps[0]
+        x = self._denoise_latents([params] * num_steps, x, text_emb,
+                                  t_steps, key, ode)
+        video = vae_decode(vae_params, x)
+        return (1.0 + jnp.clip(video, -1.0, 1.0)) / 2.0
+
+    def generate_t2v(self, prompt: str, gen: GenerationConfig = GenerationConfig(),
+                     text_emb=None) -> np.ndarray:
+        """T2V generation (wan2.1_t2v_infer.py:76-152). Returns
+        (B, 3, T, H, W) float in [0, 1]."""
+        w, h = VIDEO_RES_SIZE_INFO[gen.resolution][gen.aspect_ratio]
+        if text_emb is None:
+            text_emb = self.text_encoder(prompt)
+        text_emb = jnp.repeat(text_emb.astype(self.cfg.dtype),
+                              gen.num_samples, axis=0)
+        key = jax.random.PRNGKey(gen.seed)
+        kn, ks = jax.random.split(key)
+        noise = jax.random.normal(
+            kn, (gen.num_samples, 16, 1 + (gen.num_frames - 1) // 4,
+                 h // 8, w // 8), jnp.float32)
+        video = self._t2v_jit(self.params, self.vae_params, text_emb, noise,
+                              ks, gen.num_steps, gen.sigma_max, gen.ode)
+        return np.asarray(video)
+
+    # ------------------------------------------------------------------
+    @functools.partial(jax.jit, static_argnames=("self", "num_steps",
+                                                 "sigma_max", "ode",
+                                                 "boundary"))
+    def _i2v_jit(self, params_hi, params_lo, vae_params, text_emb, y, noise,
+                 key, num_steps: int, sigma_max: float, ode: bool,
+                 boundary: float):
+        t_steps = rcm_timesteps(num_steps, sigma_max)
+        # static expert schedule: high-noise while t_cur >= boundary
+        # (wan2.2_i2v_infer.py:187-197)
+        pps = [params_hi if t_steps[i] >= boundary else params_lo
+               for i in range(num_steps)]
+        x = noise * t_steps[0]
+        x = self._denoise_latents(pps, x, text_emb, t_steps, key, ode, y=y)
+        video = vae_decode(vae_params, x)
+        return (1.0 + jnp.clip(video, -1.0, 1.0)) / 2.0
+
+    def generate_i2v(self, prompt: str, image_chw: np.ndarray,
+                     gen: GenerationConfig = GenerationConfig(
+                         sigma_max=200.0, resolution="720p"),
+                     adaptive_resolution: bool = False,
+                     text_emb=None) -> np.ndarray:
+        """I2V generation (wan2.2_i2v_infer.py:85-210). image_chw: (3, H, W)
+        in [-1, 1]."""
+        if adaptive_resolution:
+            bw, bh = VIDEO_RES_SIZE_INFO[gen.resolution][gen.aspect_ratio]
+            area = bw * bh
+            ih, iw = image_chw.shape[1:]
+            ar = ih / iw
+            stride = 16
+            lat_h = round(float(np.sqrt(area * ar)) / stride)
+            lat_w = round(float(np.sqrt(area / ar)) / stride)
+            h, w = lat_h * stride, lat_w * stride
+        else:
+            w, h = VIDEO_RES_SIZE_INFO[gen.resolution][gen.aspect_ratio]
+        if image_chw.shape[1:] != (h, w):
+            from turbodiffusion_tpu.utils.video_io import load_image
+            # resize via PIL round trip
+            from PIL import Image
+            img01 = np.transpose((image_chw + 1) / 2, (1, 2, 0))
+            pil = Image.fromarray((np.clip(img01, 0, 1) * 255).astype(np.uint8))
+            pil = pil.resize((w, h), Image.LANCZOS)
+            image_chw = np.transpose(
+                np.asarray(pil, np.float32) / 255.0 * 2 - 1, (2, 0, 1))
+
+        F = gen.num_frames
+        lat_t, lat_h, lat_w = 1 + (F - 1) // 4, h // 8, w // 8
+
+        # encode [image, zeros x (F-1)] (wan2.2_i2v_infer.py:141-147)
+        frames = np.zeros((1, 3, F, h, w), np.float32)
+        frames[:, :, 0] = image_chw
+        latents = vae_encode(self.vae_params, jnp.asarray(frames))
+        msk = jnp.zeros((1, 4, lat_t, lat_h, lat_w), jnp.float32)
+        msk = msk.at[:, :, 0].set(1.0)
+        y = jnp.concatenate([msk, latents.astype(jnp.float32)], axis=1)
+        y = jnp.repeat(y, gen.num_samples, axis=0).astype(self.cfg.dtype)
+
+        if text_emb is None:
+            text_emb = self.text_encoder(prompt)
+        text_emb = jnp.repeat(text_emb.astype(self.cfg.dtype),
+                              gen.num_samples, axis=0)
+        key = jax.random.PRNGKey(gen.seed)
+        kn, ks = jax.random.split(key)
+        noise = jax.random.normal(
+            kn, (gen.num_samples, 16, lat_t, lat_h, lat_w), jnp.float32)
+        params_lo = self.params_low if self.params_low is not None else self.params
+        video = self._i2v_jit(self.params, params_lo, self.vae_params,
+                              text_emb, y, noise, ks, gen.num_steps,
+                              gen.sigma_max, gen.ode, gen.boundary)
+        return np.asarray(video)

@@ -21,13 +21,16 @@ from turbodiffusion_tpu.config import GenerationConfig
 
 
 def rcm_timesteps(num_steps: int, sigma_max: float,
-                  mid_t: Sequence[float] = (1.5, 1.4, 1.0)) -> jnp.ndarray:
+                  mid_t: Sequence[float] = (1.5, 1.4, 1.0)):
     """TrigFlow schedule converted to RectifiedFlow time
     (wan2.1_t2v_infer.py:113-122): t = [atan(sigma_max), *mid_t, 0], then
-    t <- sin(t) / (cos(t) + sin(t)). fp64 in the reference; fp32 here."""
-    ts = [math.atan(sigma_max), *list(mid_t)[: num_steps - 1], 0.0]
-    ts = jnp.asarray(ts, jnp.float32)
-    return jnp.sin(ts) / (jnp.cos(ts) + jnp.sin(ts))
+    t <- sin(t) / (cos(t) + sin(t)). Computed in numpy fp64 (as the
+    reference does) so the schedule constant-folds under jit."""
+    import numpy as _np
+    ts = _np.asarray([math.atan(sigma_max), *list(mid_t)[: num_steps - 1], 0.0],
+                     _np.float64)
+    ts = _np.sin(ts) / (_np.cos(ts) + _np.sin(ts))
+    return ts.astype(_np.float32)
 
 
 def rcm_sample(
