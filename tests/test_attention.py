@@ -144,3 +144,14 @@ def test_flash_sparse_custom_vjp_runs():
 
     g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
     assert all(np.isfinite(np.asarray(t)).all() for t in g)
+
+
+def test_flash_sparse_int8_close_to_fp():
+    """SageSLA pre-quantized INT8 K/V path stays close to the fp sparse ref."""
+    q, k, v = _qkv(L=300)
+    _, lut, _ = get_block_map(q, k, 0.5, 128, 128)
+    ref = sparse_attention_ref(q, k, v, lut, 128, 128)
+    out = flash_attention(q, k, v, lut=lut, int8_qk=True, interpret=True)
+    err = np.abs(np.asarray(out) - np.asarray(ref))
+    rel = err.max() / np.abs(np.asarray(ref)).max()
+    assert rel < 0.05, f"int8 sparse attention error too large: {rel}"

@@ -55,12 +55,17 @@ def rope_freqs_3d(
     return freqs.reshape(T * H * W, dim // 2)
 
 
-def apply_rope(x: jnp.ndarray, freqs: jnp.ndarray) -> jnp.ndarray:
-    """Interleaved rotary embedding (rope_apply, wan2pt1.py:156-178).
+def apply_rope_interleaved(x: jnp.ndarray, freqs: jnp.ndarray) -> jnp.ndarray:
+    """Interleaved rotary embedding — exact reference semantics
+    (rope_apply, wan2pt1.py:156-178; flash-attn interleaved=True).
 
     x: (B, L, n_heads, head_dim); freqs: (L, head_dim//2) angles.
     Pairing is interleaved: (x[..., 2i], x[..., 2i+1]) rotated by freqs[..., i].
-    Computed in fp32, cast back to x.dtype.
+
+    NOTE: the (..., D//2, 2) reshape produces a pathological TPU layout
+    (2-wide minor dim); the model uses the rotate-half variant below with a
+    one-time weight permutation instead. This version is kept as the
+    reference for tests and converters.
     """
     B, L, N, D = x.shape
     cos = jnp.cos(freqs).astype(jnp.float32)  # (L, D//2)
@@ -73,3 +78,72 @@ def apply_rope(x: jnp.ndarray, freqs: jnp.ndarray) -> jnp.ndarray:
     out_odd = x_even * s + x_odd * c
     out = jnp.stack([out_even, out_odd], axis=-1).reshape(B, L, N, D)
     return out.astype(x.dtype)
+
+
+def apply_rope(x: jnp.ndarray, freqs: jnp.ndarray) -> jnp.ndarray:
+    """Rotate-half rotary embedding — the TPU fast path.
+
+    Mathematically identical to `apply_rope_interleaved` *when the head
+    channels have been permuted even-first* (see `rope_channel_permutation`):
+    attention scores q·k are invariant to any fixed permutation applied to
+    both q and k, so the model applies the permutation once to the Q/K
+    projection weights at load time and uses this layout-friendly rotation
+    (two contiguous half-lane slices instead of a 2-wide minor dim).
+
+    x: (B, L, n_heads, head_dim) permuted even-first; freqs: (L, D//2).
+    """
+    B, L, N, D = x.shape
+    cos = jnp.cos(freqs).astype(jnp.float32)[None, :, None, :]  # (1,L,1,D/2)
+    sin = jnp.sin(freqs).astype(jnp.float32)[None, :, None, :]
+    xf = x.astype(jnp.float32)
+    x1, x2 = xf[..., : D // 2], xf[..., D // 2:]
+    out = jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
+    return out.astype(x.dtype)
+
+
+def rope_channel_permutation(head_dim: int, num_heads: int) -> jnp.ndarray:
+    """Permutation taking reference interleaved channel order to the
+    rotate-half order, replicated per head: within each head,
+    [0, 2, 4, ..., 1, 3, 5, ...].
+
+    Apply to the *output* channels of the Q/K projection weights and the
+    norm_q/norm_k scales (importer) — softmax scores are unchanged because
+    q and k receive the same permutation.
+    """
+    half = head_dim // 2
+    per_head = jnp.concatenate([jnp.arange(half) * 2, jnp.arange(half) * 2 + 1])
+    offsets = jnp.arange(num_heads)[:, None] * head_dim
+    return (per_head[None, :] + offsets).reshape(-1)
+
+
+def permute_qk_linear(p: dict, head_dim: int, num_heads: int,
+                      inverse: bool = False) -> dict:
+    """Permute a Q/K projection's output channels into rotate-half order
+    (or back, with inverse=True)."""
+    perm = rope_channel_permutation(head_dim, num_heads)
+    if inverse:
+        perm = jnp.argsort(perm)
+    out = dict(p)
+    if "w" in p:
+        out["w"] = p["w"][:, perm]
+    if "w_int8" in p:
+        scale = p["scale"]
+        if scale.ndim == 1:
+            # postscale layout: per-column scales permute with the columns
+            out["w_int8"] = p["w_int8"][:, perm]
+            out["scale"] = scale[perm]
+        elif head_dim % 128 == 0:
+            # each head spans whole 128-col quant blocks; the within-head
+            # permutation never crosses a scale block
+            out["w_int8"] = p["w_int8"][:, perm]
+        else:
+            # heads straddle quant blocks: dequantize, permute, requantize
+            from turbodiffusion_tpu.ops.quant import quantize_int8_block
+            K, N = p["w_int8"].shape
+            sr = jnp.repeat(jnp.repeat(scale, 128, 0), 128, 1)[:K, :N]
+            w = p["w_int8"].astype(jnp.float32) * sr
+            q, s = quantize_int8_block(w[:, perm])
+            out["w_int8"], out["scale"] = q, s
+    if p.get("b") is not None:
+        out["b"] = p["b"][perm]
+    return out

@@ -115,32 +115,49 @@ def _sparse_attn_kernel(lut_hbm, q_ref, k_hbm, v_hbm, o_ref,
                         kbuf, vbuf, sems, lut_ref, lut_sem, acc_scr,
                         *, scale: float, block_k: int, kv_len: int,
                         int8_qk: bool, sel: int):
-    """Block-sparse flash attention with manual double-buffered K/V gather.
+    """Block-sparse flash attention with a grouped, pipelined K/V gather.
 
     Grid: (BH, nQ). K/V and the LUT stay in HBM; only this Q-block's LUT row
     (a few dozen ints) is DMA'd into SMEM — prefetching the full LUT overflows
-    the 1MB SMEM at real model scale. Each selected K block is DMA'd into a
-    2-slot VMEM ring, overlapping the gather with the MXU work of the previous
-    block.
+    the 1MB SMEM at real model scale.
+
+    Selection granularity stays at block_k (128) for parity with the
+    reference's block map, but each inner iteration gathers GROUP selected
+    blocks into one contiguous VMEM tile and runs a single
+    (block_q x GROUP*block_k) MXU pass — small per-block tiles were
+    MXU-pipeline/loop-overhead bound. Tiles stream through an NBUF-slot ring.
     """
+    NBUF, tile_k, _ = kbuf.shape
+    group = tile_k // block_k
+    n_groups = _cdiv(sel, group)
     bh, i = pl.program_id(0), pl.program_id(1)
 
     lut_dma = pltpu.make_async_copy(lut_hbm.at[bh, i], lut_ref, lut_sem)
     lut_dma.start()
     lut_dma.wait()
 
-    def kv_dma(slot, j):
-        kb = lut_ref[j]
-        start = pl.multiple_of(kb * block_k, block_k)
-        return (
-            pltpu.make_async_copy(k_hbm.at[bh, pl.ds(start, block_k)],
-                                  kbuf.at[slot], sems.at[0, slot]),
-            pltpu.make_async_copy(v_hbm.at[bh, pl.ds(start, block_k)],
-                                  vbuf.at[slot], sems.at[1, slot]),
-        )
+    def kv_dmas(slot, g):
+        """G copies per tensor, one per selected block in group g. Padded
+        LUT entries re-fetch a valid block; their scores are masked out."""
+        ds = []
+        for t in range(group):
+            kb = lut_ref[g * group + t]
+            start = pl.multiple_of(kb * block_k, block_k)
+            ds.append(pltpu.make_async_copy(
+                k_hbm.at[bh, pl.ds(start, block_k)],
+                kbuf.at[slot, pl.ds(t * block_k, block_k)],
+                sems.at[0, slot]))
+            ds.append(pltpu.make_async_copy(
+                v_hbm.at[bh, pl.ds(start, block_k)],
+                vbuf.at[slot, pl.ds(t * block_k, block_k)],
+                sems.at[1, slot]))
+        return ds
 
-    for d in kv_dma(0, 0):
-        d.start()
+    for gg in range(NBUF - 1):
+        @pl.when(gg < n_groups)
+        def _start(gg=gg):
+            for d in kv_dmas(gg, gg):
+                d.start()
 
     m = jnp.full((q_ref.shape[1], 1), NEG_INF, jnp.float32)
     l = jnp.zeros((q_ref.shape[1], 1), jnp.float32)
@@ -154,18 +171,18 @@ def _sparse_attn_kernel(lut_hbm, q_ref, k_hbm, v_hbm, o_ref,
     else:
         qq, q_amax = q, None
 
-    def body(j, carry):
+    def body(g, carry):
         m, l = carry
-        slot = jax.lax.rem(j, 2)
+        slot = jax.lax.rem(g, NBUF)
 
-        @pl.when(j + 1 < sel)
+        @pl.when(g + NBUF - 1 < n_groups)
         def _prefetch():
-            for d in kv_dma(1 - slot, j + 1):
+            for d in kv_dmas(jax.lax.rem(g + NBUF - 1, NBUF), g + NBUF - 1):
                 d.start()
 
-        for d in kv_dma(slot, j):
+        for d in kv_dmas(slot, g):
             d.wait()
-        k = kbuf[slot]
+        k = kbuf[slot]                                   # (tile_k, D)
         v = vbuf[slot]
 
         if int8_qk:
@@ -181,9 +198,16 @@ def _sparse_attn_kernel(lut_hbm, q_ref, k_hbm, v_hbm, o_ref,
             s = jax.lax.dot_general(qq, k, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32) * scale
 
-        kb = lut_ref[j]
-        col = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < kv_len, s, NEG_INF)
+        # Mask: real KV range AND real (non-padded) LUT entries.
+        within = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        t_idx = within // block_k                        # sub-block index
+        col_parts = [lut_ref[g * group + t] * block_k for t in range(group)]
+        kb_row = jnp.concatenate(
+            [jnp.full((1, block_k), cp, jnp.int32) for cp in col_parts],
+            axis=1)                                      # (1, tile_k)
+        col = kb_row + (within % block_k)
+        entry = g * group + t_idx
+        s = jnp.where((col < kv_len) & (entry < sel), s, NEG_INF)
 
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         alpha = jnp.exp(m - m_new)
@@ -193,8 +217,115 @@ def _sparse_attn_kernel(lut_hbm, q_ref, k_hbm, v_hbm, o_ref,
             p.astype(v.dtype), v, preferred_element_type=jnp.float32)
         return m_new, l_new
 
-    m, l = jax.lax.fori_loop(0, sel, body, (m, l))
+    m, l = jax.lax.fori_loop(0, n_groups, body, (m, l))
     o_ref[0] = (acc_scr[...] / jnp.maximum(l, 1e-20)).astype(o_ref.dtype)
+
+
+def _sparse_attn_kernel_i8(lut_hbm, q_ref, qs_ref, k_hbm, v_hbm, kvs_ref,
+                           o_ref, kbuf, vbuf, sems, lut_ref, lut_sem, acc_scr,
+                           *, scale: float, block_k: int, kv_len: int,
+                           sel: int):
+    """SageSLA-style INT8 block-sparse attention.
+
+    Q/K/V are pre-quantized per row OUTSIDE the kernel (the reference
+    quantizes K once per call too, SLA/core.py:211-229), so the gather moves
+    half the bytes and the kernel does no quantization work. Row scales ride
+    in VMEM as (1, L) rows: qs sliced per Q-block via its BlockSpec, K/V
+    scales gathered per selected block alongside the data.
+    """
+    NBUF, tile_k, _ = kbuf.shape
+    group = tile_k // block_k
+    n_groups = _cdiv(sel, group)
+    bh, i = pl.program_id(0), pl.program_id(1)
+
+    lut_dma = pltpu.make_async_copy(lut_hbm.at[bh, i], lut_ref, lut_sem)
+    lut_dma.start()
+    lut_dma.wait()
+
+    def kv_dmas(slot, g):
+        ds = []
+        for t in range(group):
+            kb = lut_ref[g * group + t]
+            start = pl.multiple_of(kb * block_k, block_k)
+            ds.append(pltpu.make_async_copy(
+                k_hbm.at[bh, pl.ds(start, block_k)],
+                kbuf.at[slot, pl.ds(t * block_k, block_k)],
+                sems.at[0, slot]))
+            ds.append(pltpu.make_async_copy(
+                v_hbm.at[bh, pl.ds(start, block_k)],
+                vbuf.at[slot, pl.ds(t * block_k, block_k)],
+                sems.at[1, slot]))
+        return ds
+
+    for gg in range(NBUF - 1):
+        @pl.when(gg < n_groups)
+        def _start(gg=gg):
+            for d in kv_dmas(gg, gg):
+                d.start()
+
+    m = jnp.full((q_ref.shape[1], 1), NEG_INF, jnp.float32)
+    l = jnp.zeros((q_ref.shape[1], 1), jnp.float32)
+    acc_scr[...] = jnp.zeros_like(acc_scr)
+    qq = q_ref[0]                     # (BQ, D) int8
+    qsc = qs_ref[0]                   # (BQ, 1) fp32 row scales
+
+    def body(g, carry):
+        m, l = carry
+        slot = jax.lax.rem(g, NBUF)
+
+        @pl.when(g + NBUF - 1 < n_groups)
+        def _prefetch():
+            for d in kv_dmas(jax.lax.rem(g + NBUF - 1, NBUF), g + NBUF - 1):
+                d.start()
+
+        for d in kv_dmas(slot, g):
+            d.wait()
+        k = kbuf[slot]                # (tile_k, D) int8
+        v = vbuf[slot]                # (tile_k, D) int8
+
+        s32 = jax.lax.dot_general(qq, k, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+
+        # gather this group's K/V row scales: kvs_ref is (1, 2, Lkp)
+        ksc_parts, vsc_parts, col_parts = [], [], []
+        for t in range(group):
+            kb = lut_ref[g * group + t]
+            start = pl.multiple_of(kb * block_k, block_k)
+            ksc_parts.append(kvs_ref[0, 0:1, pl.ds(start, block_k)])
+            vsc_parts.append(kvs_ref[0, 1:2, pl.ds(start, block_k)])
+            col_parts.append(jnp.full((1, block_k), kb * block_k, jnp.int32))
+        ksc = jnp.concatenate(ksc_parts, axis=1)   # (1, tile_k)
+        vsc = jnp.concatenate(vsc_parts, axis=1)
+        kb_row = jnp.concatenate(col_parts, axis=1)
+
+        s = s32.astype(jnp.float32) * qsc * ksc * scale
+
+        within = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        col = kb_row + (within % block_k)
+        entry = g * group + within // block_k
+        s = jnp.where((col < kv_len) & (entry < sel), s, NEG_INF)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
+        # fold V's row scale into p, then bf16 x bf16 MXU pass
+        pv = (p * vsc).astype(jnp.bfloat16)
+        acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
+            pv, v.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+        return m_new, l_new
+
+    m, l = jax.lax.fori_loop(0, n_groups, body, (m, l))
+    o_ref[0] = (acc_scr[...] / jnp.maximum(l, 1e-20)).astype(o_ref.dtype)
+
+
+def _rowquant_i8(x, eps=1e-6):
+    """Per-row symmetric int8 quant: (N, L, D) -> int8 values + fp32 scales
+    (N, L, 1)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, eps) / 127.0
+    xi = jnp.round(x.astype(jnp.float32) / scale).astype(jnp.int8)
+    return xi, scale
 
 
 def _flash_fwd_impl(q, k, v, lut, *, scale, block_q, block_k, int8_qk,
@@ -242,42 +373,89 @@ def _flash_fwd_impl(q, k, v, lut, *, scale, block_q, block_k, int8_qk,
         )(qf, kf, vf)
     else:
         sel = lut.shape[-1]
-        # Pad the LUT lane dim to the 128 tiling so HBM row slices are
-        # aligned; the kernel's fori_loop only reads the first `sel` entries.
-        sel_pad = _cdiv(sel, 128) * 128
-        lut_flat = jnp.pad(lut.reshape(B * H, nQ, sel).astype(jnp.int32),
-                           ((0, 0), (0, 0), (0, sel_pad - sel)))
+        NBUF = 4             # K/V tile ring depth
+        GROUP = min(8, sel)  # selected 128-blocks gathered per MXU pass
+        n_groups = _cdiv(sel, GROUP)
+        # Pad LUT entries to a full last group (with a valid block id; the
+        # kernel masks padded entries by index), then pad the lane dim to the
+        # 128 tiling so HBM row slices are aligned.
+        lut_flat = lut.reshape(B * H, nQ, sel).astype(jnp.int32)
+        entry_pad = n_groups * GROUP - sel
+        if entry_pad:
+            lut_flat = jnp.pad(lut_flat, ((0, 0), (0, 0), (0, entry_pad)),
+                               constant_values=max(nK - 1, 0))
+        sel_pad = _cdiv(n_groups * GROUP, 128) * 128
+        lut_flat = jnp.pad(
+            lut_flat, ((0, 0), (0, 0), (0, sel_pad - n_groups * GROUP)))
 
-        def kernel(lut_hbm, q_ref, k_hbm, v_hbm, o_ref,
-                   kbuf, vbuf, sems, lut_ref, lut_sem, acc_scr):
-            _sparse_attn_kernel(lut_hbm, q_ref, k_hbm, v_hbm, o_ref,
-                                kbuf, vbuf, sems, lut_ref, lut_sem, acc_scr,
-                                scale=scale, block_k=block_k, kv_len=Lk,
-                                int8_qk=int8_qk, sel=sel)
+        common_scratch = [
+            pltpu.SemaphoreType.DMA((2, NBUF)),
+            pltpu.SMEM((sel_pad,), jnp.int32),         # this row's LUT
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((block_q, D), jnp.float32),     # acc
+        ]
+        cp = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"))
+        q_spec2 = pl.BlockSpec((1, block_q, D), lambda bh, i: (bh, i, 0))
+        any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
 
-        out = pl.pallas_call(
-            kernel,
-            grid=(B * H, nQ),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),  # LUT stays in HBM
-                pl.BlockSpec((1, block_q, D), lambda bh, i: (bh, i, 0)),
-                pl.BlockSpec(memory_space=pltpu.ANY),  # K stays in HBM
-                pl.BlockSpec(memory_space=pltpu.ANY),  # V stays in HBM
-            ],
-            out_specs=pl.BlockSpec((1, block_q, D), lambda bh, i: (bh, i, 0)),
-            out_shape=out_shape,
-            scratch_shapes=[
-                pltpu.VMEM((2, block_k, D), k.dtype),   # K ring
-                pltpu.VMEM((2, block_k, D), v.dtype),   # V ring
-                pltpu.SemaphoreType.DMA((2, 2)),
-                pltpu.SMEM((sel_pad,), jnp.int32),      # this row's LUT
-                pltpu.SemaphoreType.DMA(()),
-                pltpu.VMEM((block_q, D), jnp.float32),
-            ],
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "arbitrary")),
-            interpret=interpret,
-        )(lut_flat, qf, kf, vf)
+        if int8_qk:
+            qi, qs = _rowquant_i8(qf)                  # (BH, Lp, D), (BH, Lp, 1)
+            ki, ks = _rowquant_i8(kf)
+            vi, vs = _rowquant_i8(vf)
+            kvs = jnp.concatenate([jnp.swapaxes(ks, 1, 2),
+                                   jnp.swapaxes(vs, 1, 2)], axis=1)  # (BH,2,Lkp)
+
+            def kernel(lut_hbm, q_ref, qs_ref, k_hbm, v_hbm, kvs_ref, o_ref,
+                       kbuf, vbuf, sems, lut_ref, lut_sem, acc_scr):
+                _sparse_attn_kernel_i8(
+                    lut_hbm, q_ref, qs_ref, k_hbm, v_hbm, kvs_ref, o_ref,
+                    kbuf, vbuf, sems, lut_ref, lut_sem, acc_scr,
+                    scale=scale, block_k=block_k, kv_len=Lk, sel=sel)
+
+            out = pl.pallas_call(
+                kernel,
+                grid=(B * H, nQ),
+                in_specs=[
+                    any_spec,                                   # LUT
+                    q_spec2,                                    # q int8
+                    pl.BlockSpec((1, block_q, 1),
+                                 lambda bh, i: (bh, i, 0)),      # q scales
+                    any_spec,                                   # K int8 (HBM)
+                    any_spec,                                   # V int8 (HBM)
+                    pl.BlockSpec((1, 2, kvs.shape[-1]),
+                                 lambda bh, i: (bh, 0, 0)),      # K/V scales
+                ],
+                out_specs=q_spec2,
+                out_shape=out_shape,
+                scratch_shapes=[
+                    pltpu.VMEM((NBUF, GROUP * block_k, D), jnp.int8),
+                    pltpu.VMEM((NBUF, GROUP * block_k, D), jnp.int8),
+                ] + common_scratch,
+                compiler_params=cp,
+                interpret=interpret,
+            )(lut_flat, qi, qs, ki, vi, kvs)
+        else:
+            def kernel(lut_hbm, q_ref, k_hbm, v_hbm, o_ref,
+                       kbuf, vbuf, sems, lut_ref, lut_sem, acc_scr):
+                _sparse_attn_kernel(lut_hbm, q_ref, k_hbm, v_hbm, o_ref,
+                                    kbuf, vbuf, sems, lut_ref, lut_sem,
+                                    acc_scr, scale=scale, block_k=block_k,
+                                    kv_len=Lk, int8_qk=False, sel=sel)
+
+            out = pl.pallas_call(
+                kernel,
+                grid=(B * H, nQ),
+                in_specs=[any_spec, q_spec2, any_spec, any_spec],
+                out_specs=q_spec2,
+                out_shape=out_shape,
+                scratch_shapes=[
+                    pltpu.VMEM((NBUF, GROUP * block_k, D), k.dtype),
+                    pltpu.VMEM((NBUF, GROUP * block_k, D), v.dtype),
+                ] + common_scratch,
+                compiler_params=cp,
+                interpret=interpret,
+            )(lut_flat, qf, kf, vf)
 
     out = out[:, :L].reshape(B, H, L, D)
     return jnp.swapaxes(out, 1, 2)

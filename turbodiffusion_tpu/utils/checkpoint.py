@@ -91,7 +91,7 @@ def wan_params_from_state_dict(sd: Dict[str, np.ndarray], cfg: WanConfig):
     def norm_scale(name):
         return {"scale": jnp.asarray(sd[f"{name}.weight"], dtype)}
 
-    def attn(prefix, has_img=False, want_proj_l=False):
+    def attn(prefix, has_img=False, want_proj_l=False, rope_permute=False):
         p = {
             "q": _lin(sd, f"{prefix}.q", dtype),
             "k": _lin(sd, f"{prefix}.k", dtype),
@@ -100,6 +100,17 @@ def wan_params_from_state_dict(sd: Dict[str, np.ndarray], cfg: WanConfig):
             "norm_q": norm_scale(f"{prefix}.norm_q"),
             "norm_k": norm_scale(f"{prefix}.norm_k"),
         }
+        if rope_permute:
+            # Self-attention Q/K get RoPE: convert the reference's
+            # interleaved channel order to rotate-half order (see
+            # models/rope.py). Scores are invariant; the exporter inverts.
+            from turbodiffusion_tpu.models.rope import (
+                permute_qk_linear, rope_channel_permutation)
+            perm = rope_channel_permutation(cfg.head_dim, cfg.num_heads)
+            p["q"] = permute_qk_linear(p["q"], cfg.head_dim, cfg.num_heads)
+            p["k"] = permute_qk_linear(p["k"], cfg.head_dim, cfg.num_heads)
+            p["norm_q"] = {"scale": p["norm_q"]["scale"][perm]}
+            p["norm_k"] = {"scale": p["norm_k"]["scale"][perm]}
         if has_img:
             p["k_img"] = _lin(sd, f"{prefix}.k_img", dtype)
             p["v_img"] = _lin(sd, f"{prefix}.v_img", dtype)
@@ -125,7 +136,8 @@ def wan_params_from_state_dict(sd: Dict[str, np.ndarray], cfg: WanConfig):
     def one_block(i):
         pre = f"blocks.{i}"
         blk = {
-            "self_attn": attn(f"{pre}.self_attn", want_proj_l=use_sla),
+            "self_attn": attn(f"{pre}.self_attn", want_proj_l=use_sla,
+                              rope_permute=True),
             "cross_attn": attn(f"{pre}.cross_attn", has_img=has_img),
             "ffn": {"fc1": _lin(sd, f"{pre}.ffn.0", dtype),
                     "fc2": _lin(sd, f"{pre}.ffn.2", dtype)},
@@ -303,7 +315,18 @@ def wan_state_dict_from_params(params, cfg: WanConfig) -> Dict[str, np.ndarray]:
         if p.get("b") is not None:
             sd[f"{name}.bias"] = np.asarray(p["b"])
 
-    def put_attn(prefix, p):
+    def put_attn(prefix, p, rope_permuted=False):
+        p = dict(p)
+        if rope_permuted:
+            from turbodiffusion_tpu.models.rope import (
+                permute_qk_linear, rope_channel_permutation)
+            inv = np.argsort(np.asarray(
+                rope_channel_permutation(cfg.head_dim, cfg.num_heads)))
+            for c in ("q", "k"):
+                p[c] = permute_qk_linear(p[c], cfg.head_dim, cfg.num_heads,
+                                         inverse=True)
+            p["norm_q"] = {"scale": np.asarray(p["norm_q"]["scale"])[inv]}
+            p["norm_k"] = {"scale": np.asarray(p["norm_k"]["scale"])[inv]}
         for c in ("q", "k", "v", "o"):
             put_lin(f"{prefix}.{c}", p[c])
         sd[f"{prefix}.norm_q.weight"] = np.asarray(p["norm_q"]["scale"])
@@ -325,7 +348,7 @@ def wan_state_dict_from_params(params, cfg: WanConfig) -> Dict[str, np.ndarray]:
     for i in range(cfg.num_layers):
         blk = jax.tree.map(lambda x: x[i], params["blocks"])
         pre = f"blocks.{i}"
-        put_attn(f"{pre}.self_attn", blk["self_attn"])
+        put_attn(f"{pre}.self_attn", blk["self_attn"], rope_permuted=True)
         put_attn(f"{pre}.cross_attn", blk["cross_attn"])
         put_lin(f"{pre}.ffn.0", blk["ffn"]["fc1"])
         put_lin(f"{pre}.ffn.2", blk["ffn"]["fc2"])
