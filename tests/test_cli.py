@@ -1,0 +1,85 @@
+"""CLI smoke tests (converters + serve TUI) via subprocess on CPU."""
+
+import os
+import subprocess
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _env():
+    env = dict(os.environ)
+    # drop the axon sitecustomize so JAX_PLATFORMS=cpu is honored
+    env["PYTHONPATH"] = REPO
+    env["JAX_PLATFORMS"] = "cpu"
+    return env
+
+
+def _run(args, input_text=None, timeout=420):
+    return subprocess.run([sys.executable, "-m"] + args, cwd=REPO,
+                          env=_env(), input=input_text, capture_output=True,
+                          text=True, timeout=timeout)
+
+
+@pytest.fixture(scope="module")
+def tiny_pth(tmp_path_factory):
+    """Export a tiny test-model checkpoint in reference naming as .pth."""
+    import torch
+    from turbodiffusion_tpu.config import wan_test_config
+    from turbodiffusion_tpu.models.wan import init_wan_params
+    from turbodiffusion_tpu.utils.checkpoint import wan_state_dict_from_params
+    cfg = wan_test_config()
+    params = init_wan_params(jax.random.PRNGKey(0), cfg)
+    sd = wan_state_dict_from_params(params, cfg)
+    path = str(tmp_path_factory.mktemp("ckpt") / "tiny.pth")
+    torch.save({k: torch.from_numpy(np.asarray(v).copy()) for k, v in
+                sd.items()}, path)
+    return path
+
+
+def test_quantize_cli(tiny_pth, tmp_path):
+    out = str(tmp_path / "quant.pth")
+    r = _run(["turbodiffusion_tpu.scripts.convert", "quantize",
+              "--model", "test", "--input_path", tiny_pth,
+              "--output_path", out, "--quant_linear", "--mode", "postscale",
+              "--attention_type", "original"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    import torch
+    sd = torch.load(out, weights_only=True)
+    assert any(k.endswith("int8_weight") for k in sd)
+
+
+def test_merge_cli(tiny_pth, tmp_path):
+    out = str(tmp_path / "merged.pth")
+    r = _run(["turbodiffusion_tpu.scripts.convert", "merge",
+              "--base", tiny_pth, "--target", tiny_pth,
+              "--diff_base", tiny_pth, "--weight", "0.5",
+              "--output_path", out])
+    assert r.returncode == 0, r.stderr[-2000:]
+    # base + 0.5*(x - x) == base
+    import torch
+    a = torch.load(tiny_pth, weights_only=True)
+    b = torch.load(out, weights_only=True)
+    k = "blocks.0.ffn.0.weight"
+    np.testing.assert_allclose(np.asarray(a[k].float()),
+                               np.asarray(b[k].float()), atol=1e-2)
+
+
+def test_serve_tui_smoke(tmp_path):
+    """Drive the TUI through stdin: /show, /set, generate, /quit."""
+    save = str(tmp_path / "out.mp4")
+    script = "/show\n/set num_steps 1\n/set num_frames 5\na tiny red cube\n/quit\n"
+    r = _run(["turbodiffusion_tpu.inference.wan2_1_t2v", "--serve",
+              "--model", "test", "--random_weights",
+              "--resolution", "512", "--aspect_ratio", "1:1",
+              "--save_path", save],
+             input_text=script, timeout=900)
+    assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-1500:])
+    assert "num_steps = 1" in r.stdout
+    assert "done in" in r.stdout
+    assert os.path.exists(str(tmp_path / "out_001.npz")) or \
+        os.path.exists(str(tmp_path / "out_001.mp4"))

@@ -1,0 +1,93 @@
+"""Data pipeline, checkpointing, and trainer-loop tests."""
+
+import glob
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from turbodiffusion_tpu.config import wan_test_config
+from turbodiffusion_tpu.models.wan import init_wan_params
+from turbodiffusion_tpu.training.data import (
+    WebDatasetLoader, iter_tar_samples, write_tar_shard)
+from turbodiffusion_tpu.training.train_step import (
+    TrainState, make_optimizer, make_train_step)
+from turbodiffusion_tpu.training.trainer import Trainer, TrainerConfig
+
+
+def _make_shards(tmpdir, n_shards=2, per_shard=4):
+    paths = []
+    for s in range(n_shards):
+        samples = [{
+            "latents": np.random.randn(16, 2, 4, 4).astype(np.float32),
+            "t5_text_embeddings": np.random.randn(16, 32).astype(np.float32),
+            "prompts": f"shard{s} sample{i}",
+        } for i in range(per_shard)]
+        path = os.path.join(tmpdir, f"shard-{s:04d}.tar")
+        write_tar_shard(path, samples)
+        paths.append(path)
+    return paths
+
+
+def test_tar_roundtrip(tmp_path):
+    paths = _make_shards(str(tmp_path), 1, 3)
+    samples = list(iter_tar_samples(paths[0]))
+    assert len(samples) == 3
+    assert samples[0]["latents"].shape == (16, 2, 4, 4)
+    assert samples[1]["prompts"] == "shard0 sample1"
+    assert samples[0]["t5_text_embeddings"].dtype == np.float32
+
+
+def test_loader_batching_and_host_split(tmp_path):
+    paths = _make_shards(str(tmp_path), 4, 2)
+    loader = WebDatasetLoader(paths, batch_size=2, loop=False, shuffle=False)
+    batches = list(loader)
+    assert len(batches) == 4
+    assert batches[0]["latents"].shape == (2, 16, 2, 4, 4)
+    # two hosts see disjoint shards
+    l0 = WebDatasetLoader(paths, 2, host_id=0, num_hosts=2, loop=False,
+                          shuffle=False)
+    l1 = WebDatasetLoader(paths, 2, host_id=1, num_hosts=2, loop=False,
+                          shuffle=False)
+    p0 = {p for b in l0 for p in b["prompts"]}
+    p1 = {p for b in l1 for p in b["prompts"]}
+    assert p0.isdisjoint(p1) and len(p0 | p1) == 8
+
+
+def test_trainer_loop_with_checkpoint_resume(tmp_path):
+    cfg = wan_test_config()
+    params = init_wan_params(jax.random.PRNGKey(0), cfg)
+    params["head"]["head"]["w"] = jnp.ones_like(params["head"]["head"]["w"]) * 0.01
+    opt = make_optimizer(lr=1e-4)
+    state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    step = make_train_step(cfg, opt)
+
+    def batches():
+        while True:
+            yield {
+                "latents": np.random.RandomState(0).randn(
+                    1, 16, 2, 4, 4).astype(np.float32),
+                "teacher_velocity": np.zeros((1, 16, 2, 4, 4), np.float32),
+                "t5_text_embeddings": np.random.RandomState(1).randn(
+                    1, cfg.text_len, cfg.text_dim).astype(np.float32),
+                "timesteps": np.full((1, 1), 700.0, np.float32),
+            }
+
+    from turbodiffusion_tpu.training.checkpointing import Checkpointer
+    ckpt = Checkpointer(str(tmp_path / "ckpt"), async_save=False)
+    trainer = Trainer(TrainerConfig(max_iter=3, save_every=2, log_every=100),
+                      step, checkpointer=ckpt)
+    state = trainer.train(state, batches(), jax.random.PRNGKey(1))
+    assert int(state.step) == 3
+    assert ckpt.latest_step() == 3
+
+    # resume restores the full state
+    template = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+    restored, at = ckpt.restore(template)
+    assert at == 3
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(restored.params)[0]),
+        np.asarray(jax.tree.leaves(state.params)[0]), rtol=1e-6)
+    assert os.path.exists(tmp_path / "ckpt" / "latest_checkpoint.txt")

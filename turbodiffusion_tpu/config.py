@@ -52,6 +52,10 @@ class AttentionConfig:
     # Feature map for the linear-attention compensation branch
     # (SLA/core.py:65-69; default softmax over head_dim).
     feature_map: str = "softmax"
+    # Force the jnp reference implementations (needed for forward-mode
+    # autodiff through the model: the Pallas kernels carry a custom VJP,
+    # which jax.jvp cannot traverse).
+    use_reference_impl: bool = False
 
 
 # ---------------------------------------------------------------------------

@@ -75,7 +75,8 @@ def _cross_attention(p, x, context, cfg: WanConfig, img_context=None):
     q = q.reshape(B, Lx, H, Dh)
     k = k.reshape(B, -1, H, Dh)
     v = v.reshape(B, -1, H, Dh)
-    o = dense_attention(q, k, v)
+    o = dense_attention(q, k, v,
+                        use_reference_impl=cfg.attention.use_reference_impl)
     if img_context is not None:
         k_img = L.rms_norm(linear_maybe_quant(p["k_img"], img_context),
                            p["norm_k_img"]["scale"], eps=cfg.eps)

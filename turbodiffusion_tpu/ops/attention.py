@@ -160,9 +160,10 @@ def _use_pallas(q, *block_sizes) -> bool:
     return all(b >= 128 for b in block_sizes) if block_sizes else True
 
 
-def dense_attention(q, k, v, scale: Optional[float] = None):
+def dense_attention(q, k, v, scale: Optional[float] = None,
+                    use_reference_impl: bool = False):
     """Dense softmax attention; Pallas flash kernel on TPU, jnp elsewhere."""
-    if _use_pallas(q):
+    if not use_reference_impl and _use_pallas(q):
         from turbodiffusion_tpu.ops.flash_pallas import flash_attention
         return flash_attention(q, k, v, scale=scale)
     return dense_attention_ref(q, k, v, scale=scale)
@@ -178,7 +179,7 @@ def sla_attention(q, k, v, proj_l, cfg: AttentionConfig,
     kernel (SageAttention-style), matching the reference's SpargeAttn path.
     """
     _, lut, topk = get_block_map(q, k, cfg.sla_topk, cfg.block_q, cfg.block_k)
-    if _use_pallas(q, cfg.block_q, cfg.block_k):
+    if not cfg.use_reference_impl and _use_pallas(q, cfg.block_q, cfg.block_k):
         from turbodiffusion_tpu.ops.flash_pallas import flash_attention
         o_s = flash_attention(q, k, v, lut=lut, block_q=cfg.block_q,
                               block_k=cfg.block_k, int8_qk=int8_qk)
@@ -197,7 +198,7 @@ def sla_attention(q, k, v, proj_l, cfg: AttentionConfig,
 def attention(q, k, v, cfg: AttentionConfig, proj_l=None):
     """Backend dispatch mirroring --attention_type (wan2.1_t2v_infer.py:51)."""
     if cfg.backend == "dense":
-        return dense_attention(q, k, v)
+        return dense_attention(q, k, v, use_reference_impl=cfg.use_reference_impl)
     if cfg.backend == "sla":
         return sla_attention(q, k, v, proj_l, cfg, int8_qk=False)
     if cfg.backend == "sagesla":

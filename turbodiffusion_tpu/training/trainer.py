@@ -1,0 +1,121 @@
+"""Training loop with callbacks, checkpointing, and watchdog.
+
+Condensed equivalent of ImaginaireTrainer / ImaginaireTrainer_Distill
+(imaginaire/trainer.py:42-233, rcm/trainers/trainer_distillation.py:42-295):
+grad-accum-free loop, per-step callback fan-out, periodic async checkpoints,
+resume from latest, SIGALRM stall watchdog (imaginaire/trainer.py:132).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import signal
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import numpy as np
+
+log = logging.getLogger("turbodiffusion_tpu")
+if not log.handlers:
+    _h = logging.StreamHandler()
+    _h.setFormatter(logging.Formatter(
+        "%(asctime)s|%(levelname)s|%(message)s", "%H:%M:%S"))
+    log.addHandler(_h)
+    log.setLevel(logging.INFO)
+
+
+class Callback:
+    """Hook surface ≡ imaginaire CallBackGroup (utils/callback.py:45-101)."""
+
+    def on_train_start(self, state): ...
+    def on_training_step_start(self, state, iteration: int): ...
+    def on_training_step_end(self, state, metrics: Dict, iteration: int): ...
+    def on_save_checkpoint(self, state, iteration: int): ...
+    def on_train_end(self, state): ...
+
+
+class IterSpeed(Callback):
+    """rcm/callbacks/iter_speed.py analog: rolling it/s + loss logging."""
+
+    def __init__(self, every_n: int = 10):
+        self.every_n = every_n
+        self.t0 = None
+
+    def on_training_step_end(self, state, metrics, iteration):
+        if self.t0 is None:
+            self.t0 = time.perf_counter()
+            return
+        if iteration % self.every_n == 0:
+            dt = (time.perf_counter() - self.t0) / self.every_n
+            self.t0 = time.perf_counter()
+            ms = {k: float(v) for k, v in metrics.items()}
+            log.info(f"iter {iteration} | {1.0/dt:.2f} it/s | " +
+                     " ".join(f"{k}={v:.4f}" for k, v in ms.items()))
+
+
+class JsonlLogger(Callback):
+    """Metrics sink (wandb_log.py analog for a zero-egress environment)."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def on_training_step_end(self, state, metrics, iteration):
+        with open(self.path, "a") as f:
+            f.write(json.dumps(
+                {"iteration": iteration,
+                 **{k: float(v) for k, v in metrics.items()}}) + "\n")
+
+
+@dataclass
+class TrainerConfig:
+    max_iter: int = 1000
+    save_every: int = 500
+    watchdog_secs: int = 0       # 0 disables (trainer.py:132 SIGALRM)
+    log_every: int = 10
+
+
+class Trainer:
+    def __init__(self, cfg: TrainerConfig, train_step: Callable,
+                 checkpointer=None, callbacks: Optional[List[Callback]] = None):
+        self.cfg = cfg
+        self.train_step = train_step
+        self.checkpointer = checkpointer
+        self.callbacks = callbacks or [IterSpeed(cfg.log_every)]
+
+    def _fan(self, hook: str, *args):
+        for cb in self.callbacks:
+            getattr(cb, hook)(*args)
+
+    def train(self, state, dataloader, key: jax.Array, start_iter: int = 0):
+        if self.cfg.watchdog_secs:
+            def _timeout(signum, frame):
+                raise TimeoutError(
+                    f"no training step completed within "
+                    f"{self.cfg.watchdog_secs}s (watchdog)")
+            signal.signal(signal.SIGALRM, _timeout)
+
+        self._fan("on_train_start", state)
+        it = start_iter
+        data_iter = iter(dataloader)
+        while it < self.cfg.max_iter:
+            if self.cfg.watchdog_secs:
+                signal.alarm(self.cfg.watchdog_secs)
+            self._fan("on_training_step_start", state, it)
+            batch = next(data_iter)
+            key, sub = jax.random.split(key)
+            state, metrics = self.train_step(state, batch, sub)
+            self._fan("on_training_step_end", state, metrics, it)
+            it += 1
+            if self.checkpointer and it % self.cfg.save_every == 0:
+                self.checkpointer.save(it, state)
+                self._fan("on_save_checkpoint", state, it)
+        if self.cfg.watchdog_secs:
+            signal.alarm(0)
+        if self.checkpointer:
+            self.checkpointer.save(self.cfg.max_iter, state)
+            self.checkpointer.wait()
+        self._fan("on_train_end", state)
+        return state
