@@ -1,0 +1,161 @@
+"""LTX-2 AV transformer + acceleration + pipeline tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from turbodiffusion_tpu.models.ltx import (
+    init_ltx_params, ltx_forward, ltx_test_config, ltx2_sigmas,
+    modulate, modulated_rms_norm_from_ada, gated_residual_from_ada,
+    output_modulate, rms_norm)
+from turbodiffusion_tpu.models.ltx_accel import (
+    AccelerationReport, apply_turbodiffusion_acceleration, effective_topk,
+    fuse_attention_qkv, linear_name_in_quant_scope, parse_sla_topk_schedule,
+    scheduled_sla_topk)
+from turbodiffusion_tpu.pipelines.av_pipeline import (
+    bidirectional_av_sample, trig_student_sigmas)
+
+
+CFG = ltx_test_config()
+GRID = (2, 2, 2)
+LV, LA = 8, 6
+
+
+@pytest.fixture(scope="module")
+def ltx():
+    params = init_ltx_params(jax.random.PRNGKey(0), CFG)
+    v = jax.random.normal(jax.random.PRNGKey(1), (1, LV, CFG.video_in_channels))
+    a = jax.random.normal(jax.random.PRNGKey(2), (1, LA, CFG.audio_in_channels))
+    cap_v = jax.random.normal(jax.random.PRNGKey(3), (1, 4, CFG.caption_channels))
+    cap_a = jax.random.normal(jax.random.PRNGKey(4), (1, 4, CFG.caption_channels))
+    return params, v, a, cap_v, cap_a
+
+
+def test_av_forward_shapes(ltx):
+    params, v, a, cap_v, cap_a = ltx
+    t = jnp.full((1, 1), 0.7)
+    vo, ao = ltx_forward(params, CFG, v, a, t, t, cap_v, cap_a, GRID)
+    assert vo.shape == (1, LV, CFG.video_out_channels)
+    assert ao.shape == (1, LA, CFG.audio_out_channels)
+    assert np.isfinite(np.asarray(vo)).all()
+    assert np.isfinite(np.asarray(ao)).all()
+
+
+def test_audio_video_coupling(ltx):
+    """A2V/V2A cross attention: perturbing audio must change video output."""
+    params, v, a, cap_v, cap_a = ltx
+    t = jnp.full((1, 1), 0.7)
+    vo1, _ = ltx_forward(params, CFG, v, a, t, t, cap_v, cap_a, GRID)
+    a2 = a + 1.0
+    vo2, _ = ltx_forward(params, CFG, v, a2, t, t, cap_v, cap_a, GRID)
+    assert np.abs(np.asarray(vo1) - np.asarray(vo2)).max() > 1e-5
+
+
+def test_fusion_helpers_match_unfused():
+    """The *_from_ada fused helpers equal unfused formulas — mirrors the
+    reference's test_transformer_fusion_helpers.py."""
+    key = jax.random.PRNGKey(0)
+    B, L, D, N = 2, 3, 8, 6
+    x = jax.random.normal(key, (B, L, D))
+    table = jax.random.normal(jax.random.fold_in(key, 1), (N, D))
+    ts = jax.random.normal(jax.random.fold_in(key, 2), (B, 1, N * D))
+
+    tsr = np.asarray(ts).reshape(B, 1, N, D)
+    scale = np.asarray(table)[1][None, None] + tsr[:, :, 1]
+    shift = np.asarray(table)[0][None, None] + tsr[:, :, 0]
+    expect = np.asarray(rms_norm(x)) * (1 + scale) + shift
+    got = modulated_rms_norm_from_ada(x, table, ts, scale_index=1,
+                                      shift_index=0, num_ada=N)
+    np.testing.assert_allclose(np.asarray(got), expect, rtol=2e-5, atol=2e-5)
+
+    gate = np.asarray(table)[2][None, None] + tsr[:, :, 2]
+    res = jax.random.normal(jax.random.fold_in(key, 3), (B, L, D))
+    got = gated_residual_from_ada(x, res, table, ts, gate_index=2, num_ada=N)
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(x) + np.asarray(res) * gate,
+                               rtol=2e-5, atol=2e-5)
+
+    # output_modulate (model.py:32-38)
+    sst = jax.random.normal(jax.random.fold_in(key, 4), (2, D))
+    emb = jax.random.normal(jax.random.fold_in(key, 5), (B, 1, D))
+    got = output_modulate(x, sst, emb)
+    vals = np.asarray(sst)[None, None] + np.asarray(emb)[:, :, None]
+    expect = np.asarray(x) * (1 + vals[:, :, 1]) + vals[:, :, 0]
+    np.testing.assert_allclose(np.asarray(got), expect, rtol=2e-5, atol=2e-5)
+
+
+def test_topk_schedule_parsing():
+    """Format + selection semantics (acceleration.py:445-492; mirrors
+    test_acceleration_config.py)."""
+    sched = parse_sla_topk_schedule("0-15:0.35,16-31:0.3,40:0.25")
+    assert scheduled_sla_topk(7, 0.5, sched) == 0.35
+    assert scheduled_sla_topk(20, 0.5, sched) == 0.3
+    assert scheduled_sla_topk(40, 0.5, sched) == 0.25
+    assert scheduled_sla_topk(35, 0.5, sched) == 0.5
+    for bad in ("3-1:0.3", "0-2:0", "0-2:1.1", "bad"):
+        with pytest.raises(ValueError):
+            parse_sla_topk_schedule(bad)
+    assert effective_topk(0.01, 10) == 0.1
+
+
+def test_quant_scopes():
+    assert linear_name_in_quant_scope("blocks.0.ff.fc1", "video_ffn")
+    assert not linear_name_in_quant_scope("blocks.0.audio_ff.fc1", "video_ffn")
+    assert linear_name_in_quant_scope("blocks.0.audio_ff.fc1", "audio_ffn")
+    assert linear_name_in_quant_scope("blocks.0.attn1.to_q", "video_heavy")
+    assert not linear_name_in_quant_scope("blocks.0.attn1.to_q",
+                                          "non_attention")
+
+
+def test_acceleration_application(ltx):
+    params, v, a, cap_v, cap_a = ltx
+    t = jnp.full((1, 1), 0.7)
+    base_v, base_a = ltx_forward(params, CFG, v, a, t, t, cap_v, cap_a, GRID)
+
+    p2, attn_cfgs, report = apply_turbodiffusion_acceleration(
+        params, CFG, attention_type="sla", sla_topk=1.0,
+        sla_topk_schedule="0-0:0.9", w8a8_backend="postscale",
+        quant_scope="ffn", fuse_qkv=True)
+    assert report.attention_replaced == CFG.num_layers
+    assert report.linears_quantized > 0
+    assert report.qkv_fused == 4
+    assert attn_cfgs[0].sla_topk == 0.9 and attn_cfgs[1].sla_topk == 1.0
+    assert "to_qkv" in p2["blocks"]["attn1"]
+    assert "w_int8" in p2["blocks"]["ff"]["fc1"]
+    # still runs and stays in the same ballpark (topk≈1 + int8 ffn)
+    v2, a2 = ltx_forward(p2, CFG, v, a, t, t, cap_v, cap_a, GRID,
+                         attn_cfgs=[c.__class__(**{
+                             **c.__dict__, "block_q": 4, "block_k": 4})
+                             for c in attn_cfgs])
+    rel = np.abs(np.asarray(v2) - np.asarray(base_v)).max() / (
+        np.abs(np.asarray(base_v)).max() + 1e-9)
+    assert rel < 0.35, rel
+
+
+def test_ltx2_scheduler():
+    s = ltx2_sigmas(8, num_tokens=2048)
+    assert s[0] == 1.0 and s[-1] == 0.0
+    assert np.all(np.diff(s) < 0)
+    # terminal stretch: last nonzero sigma == terminal
+    np.testing.assert_allclose(s[-2], 0.1, atol=1e-6)
+
+
+def test_bidirectional_pipeline(ltx):
+    params, v, a, cap_v, cap_a = ltx
+
+    def gen(video, audio, sigma):
+        t = jnp.full((1, 1), sigma)
+        return ltx_forward(params, CFG, video, audio, t, t, cap_v, cap_a,
+                           GRID)
+
+    kv = jax.random.normal(jax.random.PRNGKey(7), (1, LV, CFG.video_in_channels))
+    ka = jax.random.normal(jax.random.PRNGKey(8), (1, LA, CFG.audio_in_channels))
+    for mode in ("euler", "trig", "rf"):
+        vo, ao = bidirectional_av_sample(gen, kv, ka, jax.random.PRNGKey(9),
+                                         num_steps=2, mode=mode)
+        assert vo.shape == kv.shape and ao.shape == ka.shape
+        assert np.isfinite(np.asarray(vo)).all()
+
+    sig = trig_student_sigmas(4)
+    assert len(sig) == 5 and sig[-1] == 0.0

@@ -1,0 +1,132 @@
+"""LTX-2 T2AV inference / latency-eval CLI.
+
+Reference surface: python -m ltx_distillation.tools.run_av_inference_eval
+(TurboT2AV run_av_inference_eval.py: student/teacher modes, warmup + latency
+benchmarking, latent shape math :71-95, student sigmas :98-109) and the
+acceleration flags (--attention_type --sla_topk --sla_topk_schedule
+--w8a8_backend --quant_scope --fuse_qkv, acceleration.py:1139-1196).
+
+The headline reference metric is generator-only latency at 121 frames
+1024x1792 on H20 (TurboT2AV/README.md:17-27); --benchmark reproduces that
+measurement (VAE decode and Gemma encoding excluded, as in the reference).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def latent_geometry(height: int, width: int, num_frames: int, fps: float = 30.0):
+    """Video VAE: 32x spatial, 8x temporal, 128ch; audio: 25 latent fps
+    (run_av_inference_eval.py:71-95; ltx_wrapper.py:48-50)."""
+    t_lat = 1 + (num_frames - 1) // 8
+    h_lat, w_lat = height // 32, width // 32
+    audio_len = max(1, int(round(num_frames / fps * 25)))
+    return (t_lat, h_lat, w_lat), audio_len
+
+
+def main():
+    p = argparse.ArgumentParser(description="TurboDiffusion-TPU LTX-2 T2AV")
+    p.add_argument("--checkpoint", default=None,
+                   help="generator checkpoint (None = random weights)")
+    p.add_argument("--prompt", default="a dog barking in a park")
+    p.add_argument("--height", type=int, default=1024)
+    p.add_argument("--width", type=int, default=1792)
+    p.add_argument("--num_frames", type=int, default=121)
+    p.add_argument("--num_steps", type=int, default=4)
+    p.add_argument("--mode", choices=["student", "teacher"], default="student")
+    p.add_argument("--teacher_steps", type=int, default=40)
+    p.add_argument("--stepping", choices=["euler", "trig", "rf"],
+                   default="trig")
+    p.add_argument("--attention_type", default="original",
+                   choices=["original", "sla", "sagesla"])
+    p.add_argument("--sla_topk", type=float, default=0.3)
+    p.add_argument("--sla_topk_schedule", default=None)
+    p.add_argument("--w8a8_backend", default="none",
+                   choices=["none", "postscale", "block"])
+    p.add_argument("--quant_scope", default="transformer_blocks")
+    p.add_argument("--fuse_qkv", action="store_true")
+    p.add_argument("--num_layers", type=int, default=48)
+    p.add_argument("--benchmark", action="store_true",
+                   help="measure generator-only latency (reference metric)")
+    p.add_argument("--warmup", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from turbodiffusion_tpu.models.ltx import (
+        LTXConfig, init_ltx_params, ltx_forward, ltx2_sigmas)
+    from turbodiffusion_tpu.models.ltx_accel import (
+        apply_turbodiffusion_acceleration)
+    from turbodiffusion_tpu.pipelines.av_pipeline import (
+        bidirectional_av_sample, trig_student_sigmas)
+
+    cfg = LTXConfig(num_layers=args.num_layers)
+    print(f"building LTX-2 ({args.num_layers} layers, video dim "
+          f"{cfg.video_dim}, audio dim {cfg.audio_dim})")
+    params = init_ltx_params(jax.random.PRNGKey(args.seed), cfg)
+
+    params, attn_cfgs, report = apply_turbodiffusion_acceleration(
+        params, cfg, attention_type=args.attention_type,
+        sla_topk=args.sla_topk, sla_topk_schedule=args.sla_topk_schedule,
+        w8a8_backend=args.w8a8_backend, quant_scope=args.quant_scope,
+        fuse_qkv=args.fuse_qkv)
+    print(report)
+
+    grid, audio_len = latent_geometry(args.height, args.width,
+                                      args.num_frames)
+    lv = grid[0] * grid[1] * grid[2]
+    print(f"video grid {grid} -> {lv} tokens; audio {audio_len} tokens")
+
+    key = jax.random.PRNGKey(args.seed)
+    kv, ka, kc, ks = jax.random.split(key, 4)
+    video = jax.random.normal(kv, (1, lv, cfg.video_in_channels), jnp.float32)
+    audio = jax.random.normal(ka, (1, audio_len, cfg.audio_in_channels),
+                              jnp.float32)
+    # caption embeddings (Gemma encoder: round-2 component; random here)
+    cap = jax.random.normal(kc, (1, 128, cfg.caption_channels), jnp.bfloat16)
+
+    if args.mode == "student":
+        sigmas = trig_student_sigmas(args.num_steps)
+    else:
+        sigmas = ltx2_sigmas(args.teacher_steps, num_tokens=lv)
+
+    @jax.jit
+    def generate(params, video, audio, key):
+        def gen(v, a, sigma):
+            t = jnp.full((1, 1), sigma, jnp.float32)
+            return ltx_forward(params, cfg, v, a, t, t, cap, cap, grid,
+                               attn_cfgs=attn_cfgs)
+        return bidirectional_av_sample(gen, video, audio, key, sigmas=sigmas,
+                                       mode=args.stepping)
+
+    t0 = time.time()
+    vo, ao = generate(params, video, audio, ks)
+    jax.block_until_ready((vo, ao))
+    print(f"compile+first generation: {time.time()-t0:.1f}s")
+
+    if args.benchmark:
+        for _ in range(args.warmup):
+            jax.block_until_ready(generate(params, video, audio, ks))
+        t0 = time.perf_counter()
+        vo, ao = generate(params, video, audio, ks)
+        jax.block_until_ready((vo, ao))
+        dt = time.perf_counter() - t0
+        print(json.dumps({
+            "metric": "ltx2_t2av_generator_only",
+            "num_layers": args.num_layers,
+            "steps": len(sigmas) - 1,
+            "video_tokens": lv,
+            "audio_tokens": audio_len,
+            "value": round(dt, 4), "unit": "s",
+        }))
+    print("video out:", vo.shape, "audio out:", ao.shape,
+          "finite:", bool(jnp.isfinite(vo).all() & jnp.isfinite(ao).all()))
+
+
+if __name__ == "__main__":
+    main()
