@@ -52,12 +52,13 @@ def _self_attention(p, x, freqs, cfg: WanConfig):
     v = v.reshape(B, Lx, H, Dh)
     q = apply_rope(q, freqs)
     k = apply_rope(k, freqs)
-    # Ulysses resharding: constrain heads onto the 'context' axis for the
-    # attention op; XLA inserts the all-to-alls (≡ rcm/utils/a2a_cp.py:43-200).
-    q = constrain(q, ("data", None, "context", None))
-    k = constrain(k, ("data", None, "context", None))
-    v = constrain(v, ("data", None, "context", None))
-    o = attention(q, k, v, cfg.attention, proj_l=p.get("proj_l"))
+    # Ulysses CP: explicit shard_map + all_to_all when a context axis is
+    # active (≡ rcm/utils/a2a_cp.py:43-200); plain dispatch otherwise.
+    from turbodiffusion_tpu.parallel.ulysses import ulysses_attention
+    q = constrain(q, ("data", "context", None, None))
+    k = constrain(k, ("data", "context", None, None))
+    v = constrain(v, ("data", "context", None, None))
+    o = ulysses_attention(q, k, v, cfg.attention, proj_l=p.get("proj_l"))
     o = constrain(o, ("data", "context", None, None))
     return linear_maybe_quant(p["o"], o.reshape(B, Lx, D))
 
