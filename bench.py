@@ -8,10 +8,16 @@ vs_baseline = ours_seconds / reference_seconds (1.0 = parity, lower = faster).
 """
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
+
+# persistent compilation cache: repeat runs skip the multi-minute XLA compile
+os.makedirs("/root/.jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 BASELINE_S = 1.9  # Wan2.1-1.3B 480p E2E on RTX 5090 (BASELINE.md)
 

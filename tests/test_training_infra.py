@@ -91,3 +91,43 @@ def test_trainer_loop_with_checkpoint_resume(tmp_path):
         np.asarray(jax.tree.leaves(restored.params)[0]),
         np.asarray(jax.tree.leaves(state.params)[0]), rtol=1e-6)
     assert os.path.exists(tmp_path / "ckpt" / "latest_checkpoint.txt")
+
+
+def test_lambda_linear_warmup_and_grad_clip():
+    """LR warmup (rcm/utils/lr_scheduler.py) + grad clip/force-finite
+    (rcm/callbacks/grad_clip.py:27-61)."""
+    from turbodiffusion_tpu.training.train_step import (
+        lambda_linear_schedule, make_optimizer)
+    sched = lambda_linear_schedule(1e-4, warmup_steps=100)
+    assert float(sched(0)) < 1e-8
+    np.testing.assert_allclose(float(sched(100)), 1e-4, rtol=1e-5)
+    np.testing.assert_allclose(float(sched(500)), 1e-4, rtol=1e-5)
+
+    opt = make_optimizer(lr=1.0, grad_clip=1.0, force_finite=True,
+                         weight_decay=0.0)
+    params = {"w": jnp.ones(4)}
+    st = opt.init(params)
+    bad_grads = {"w": jnp.asarray([jnp.nan, jnp.inf, 100.0, -100.0])}
+    updates, _ = opt.update(bad_grads, st, params)
+    u = np.asarray(updates["w"])
+    assert np.isfinite(u).all()
+
+
+def test_conditioner_cfg():
+    from turbodiffusion_tpu.training.conditioner import TextConditioner
+    batch = {"t5_text_embeddings": jnp.ones((4, 8, 16))}
+    cond, uncond = TextConditioner().get_condition_uncondition(batch)
+    assert np.abs(np.asarray(uncond.crossattn_emb)).max() == 0.0
+    assert np.abs(np.asarray(cond.crossattn_emb)).max() == 1.0
+    # dropout zeroes some rows
+    tc = TextConditioner(dropout_rate=0.5)
+    c = tc(batch, key=jax.random.PRNGKey(0))
+    row_norms = np.asarray(jnp.abs(c.crossattn_emb).sum(axis=(1, 2)))
+    assert (row_norms == 0).any() and (row_norms > 0).any()
+
+
+def test_heartbeat_callback(tmp_path):
+    from turbodiffusion_tpu.training.trainer import HeartBeat
+    hb = HeartBeat(str(tmp_path / "hb.txt"), every_secs=0.0)
+    hb.on_training_step_end(None, {}, 7)
+    assert (tmp_path / "hb.txt").read_text().startswith("7 ")

@@ -112,7 +112,7 @@ def _attn_kernel(lut_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
 # ---------------------------------------------------------------------------
 
 def _sparse_attn_kernel(lut_hbm, q_ref, k_hbm, v_hbm, o_ref,
-                        kbuf, vbuf, sems, lut_ref, lut_sem, acc_scr,
+                        kbuf, vbuf, sems, lut2_ref, lut_sem, acc_scr,
                         *, scale: float, block_k: int, kv_len: int,
                         int8_qk: bool, sel: int):
     """Block-sparse flash attention with a grouped, pipelined K/V gather.
@@ -132,9 +132,29 @@ def _sparse_attn_kernel(lut_hbm, q_ref, k_hbm, v_hbm, o_ref,
     n_groups = _cdiv(sel, group)
     bh, i = pl.program_id(0), pl.program_id(1)
 
-    lut_dma = pltpu.make_async_copy(lut_hbm.at[bh, i], lut_ref, lut_sem)
-    lut_dma.start()
-    lut_dma.wait()
+    # LUT row double-buffering across grid steps: slot (bh*nQ+i) % 2 holds
+    # this step's row. The first grid step fetches its own row; every step
+    # prefetches the next step's row, taking the ~1-2us LUT DMA off the
+    # critical path of the remaining ~3000 grid steps.
+    nQ = pl.num_programs(1)
+    step = bh * nQ + i
+    slot_now = jax.lax.rem(step, 2)
+
+    @pl.when(step == 0)
+    def _first_lut():
+        pltpu.make_async_copy(lut_hbm.at[0, 0], lut2_ref.at[0],
+                              lut_sem.at[0]).start()
+
+    @pl.when(step + 1 < pl.num_programs(0) * nQ)
+    def _next_lut():
+        nxt = step + 1
+        pltpu.make_async_copy(lut_hbm.at[nxt // nQ, jax.lax.rem(nxt, nQ)],
+                              lut2_ref.at[1 - slot_now],
+                              lut_sem.at[1 - slot_now]).start()
+
+    pltpu.make_async_copy(lut_hbm.at[bh, i], lut2_ref.at[slot_now],
+                          lut_sem.at[slot_now]).wait()
+    lut_ref = lut2_ref.at[slot_now]
 
     def kv_dmas(slot, g):
         """G copies per tensor, one per selected block in group g. Padded
@@ -221,26 +241,48 @@ def _sparse_attn_kernel(lut_hbm, q_ref, k_hbm, v_hbm, o_ref,
     o_ref[0] = (acc_scr[...] / jnp.maximum(l, 1e-20)).astype(o_ref.dtype)
 
 
-def _sparse_attn_kernel_i8(lut_hbm, q_ref, qs_ref, k_hbm, v_hbm, kvs_ref,
-                           o_ref, kbuf, vbuf, sems, lut_ref, lut_sem, acc_scr,
+def _sparse_attn_kernel_i8(lut_hbm, q_ref, qs_ref, kv_hbm, kvs_ref,
+                           o_ref, kvbuf, sems, lut2_ref, lut_sem, acc_scr,
                            *, scale: float, block_k: int, kv_len: int,
                            sel: int):
     """SageSLA-style INT8 block-sparse attention.
 
     Q/K/V are pre-quantized per row OUTSIDE the kernel (the reference
     quantizes K once per call too, SLA/core.py:211-229), so the gather moves
-    half the bytes and the kernel does no quantization work. Row scales ride
-    in VMEM as (1, L) rows: qs sliced per Q-block via its BlockSpec, K/V
-    scales gathered per selected block alongside the data.
+    half the bytes and the kernel does no quantization work. K and V are
+    PACKED along the feature dim into one (BH, L, 2D) int8 array so each
+    selected block is ONE DMA descriptor — the gather is descriptor-issue
+    bound on the scalar core, not bandwidth bound. Row scales ride in VMEM
+    as (1, L) rows.
     """
-    NBUF, tile_k, _ = kbuf.shape
+    NBUF, tile_k, _ = kvbuf.shape
     group = tile_k // block_k
     n_groups = _cdiv(sel, group)
     bh, i = pl.program_id(0), pl.program_id(1)
 
-    lut_dma = pltpu.make_async_copy(lut_hbm.at[bh, i], lut_ref, lut_sem)
-    lut_dma.start()
-    lut_dma.wait()
+    # LUT row double-buffering across grid steps: slot (bh*nQ+i) % 2 holds
+    # this step's row. The first grid step fetches its own row; every step
+    # prefetches the next step's row, taking the ~1-2us LUT DMA off the
+    # critical path of the remaining ~3000 grid steps.
+    nQ = pl.num_programs(1)
+    step = bh * nQ + i
+    slot_now = jax.lax.rem(step, 2)
+
+    @pl.when(step == 0)
+    def _first_lut():
+        pltpu.make_async_copy(lut_hbm.at[0, 0], lut2_ref.at[0],
+                              lut_sem.at[0]).start()
+
+    @pl.when(step + 1 < pl.num_programs(0) * nQ)
+    def _next_lut():
+        nxt = step + 1
+        pltpu.make_async_copy(lut_hbm.at[nxt // nQ, jax.lax.rem(nxt, nQ)],
+                              lut2_ref.at[1 - slot_now],
+                              lut_sem.at[1 - slot_now]).start()
+
+    pltpu.make_async_copy(lut_hbm.at[bh, i], lut2_ref.at[slot_now],
+                          lut_sem.at[slot_now]).wait()
+    lut_ref = lut2_ref.at[slot_now]
 
     def kv_dmas(slot, g):
         ds = []
@@ -248,13 +290,9 @@ def _sparse_attn_kernel_i8(lut_hbm, q_ref, qs_ref, k_hbm, v_hbm, kvs_ref,
             kb = lut_ref[g * group + t]
             start = pl.multiple_of(kb * block_k, block_k)
             ds.append(pltpu.make_async_copy(
-                k_hbm.at[bh, pl.ds(start, block_k)],
-                kbuf.at[slot, pl.ds(t * block_k, block_k)],
+                kv_hbm.at[bh, pl.ds(start, block_k)],
+                kvbuf.at[slot, pl.ds(t * block_k, block_k)],
                 sems.at[0, slot]))
-            ds.append(pltpu.make_async_copy(
-                v_hbm.at[bh, pl.ds(start, block_k)],
-                vbuf.at[slot, pl.ds(t * block_k, block_k)],
-                sems.at[1, slot]))
         return ds
 
     for gg in range(NBUF - 1):
@@ -268,6 +306,7 @@ def _sparse_attn_kernel_i8(lut_hbm, q_ref, qs_ref, k_hbm, v_hbm, kvs_ref,
     acc_scr[...] = jnp.zeros_like(acc_scr)
     qq = q_ref[0]                     # (BQ, D) int8
     qsc = qs_ref[0]                   # (BQ, 1) fp32 row scales
+    D = qq.shape[-1]
 
     def body(g, carry):
         m, l = carry
@@ -280,8 +319,8 @@ def _sparse_attn_kernel_i8(lut_hbm, q_ref, qs_ref, k_hbm, v_hbm, kvs_ref,
 
         for d in kv_dmas(slot, g):
             d.wait()
-        k = kbuf[slot]                # (tile_k, D) int8
-        v = vbuf[slot]                # (tile_k, D) int8
+        k = kvbuf[slot, :, :D]        # (tile_k, D) int8
+        v = kvbuf[slot, :, D:]        # (tile_k, D) int8
 
         s32 = jax.lax.dot_general(qq, k, (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.int32)
@@ -390,8 +429,8 @@ def _flash_fwd_impl(q, k, v, lut, *, scale, block_q, block_k, int8_qk,
 
         common_scratch = [
             pltpu.SemaphoreType.DMA((2, NBUF)),
-            pltpu.SMEM((sel_pad,), jnp.int32),         # this row's LUT
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SMEM((2, sel_pad), jnp.int32),       # LUT row ring
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((block_q, D), jnp.float32),     # acc
         ]
         cp = pltpu.CompilerParams(
@@ -403,14 +442,16 @@ def _flash_fwd_impl(q, k, v, lut, *, scale, block_q, block_k, int8_qk,
             qi, qs = _rowquant_i8(qf)                  # (BH, Lp, D), (BH, Lp, 1)
             ki, ks = _rowquant_i8(kf)
             vi, vs = _rowquant_i8(vf)
+            # pack K|V along features: one DMA descriptor per gathered block
+            kvi = jnp.concatenate([ki, vi], axis=-1)   # (BH, Lkp, 2D) int8
             kvs = jnp.concatenate([jnp.swapaxes(ks, 1, 2),
                                    jnp.swapaxes(vs, 1, 2)], axis=1)  # (BH,2,Lkp)
 
-            def kernel(lut_hbm, q_ref, qs_ref, k_hbm, v_hbm, kvs_ref, o_ref,
-                       kbuf, vbuf, sems, lut_ref, lut_sem, acc_scr):
+            def kernel(lut_hbm, q_ref, qs_ref, kv_hbm, kvs_ref, o_ref,
+                       kvbuf, sems, lut_ref, lut_sem, acc_scr):
                 _sparse_attn_kernel_i8(
-                    lut_hbm, q_ref, qs_ref, k_hbm, v_hbm, kvs_ref, o_ref,
-                    kbuf, vbuf, sems, lut_ref, lut_sem, acc_scr,
+                    lut_hbm, q_ref, qs_ref, kv_hbm, kvs_ref, o_ref,
+                    kvbuf, sems, lut_ref, lut_sem, acc_scr,
                     scale=scale, block_k=block_k, kv_len=Lk, sel=sel)
 
             out = pl.pallas_call(
@@ -421,20 +462,18 @@ def _flash_fwd_impl(q, k, v, lut, *, scale, block_q, block_k, int8_qk,
                     q_spec2,                                    # q int8
                     pl.BlockSpec((1, block_q, 1),
                                  lambda bh, i: (bh, i, 0)),      # q scales
-                    any_spec,                                   # K int8 (HBM)
-                    any_spec,                                   # V int8 (HBM)
+                    any_spec,                                   # K|V int8 (HBM)
                     pl.BlockSpec((1, 2, kvs.shape[-1]),
                                  lambda bh, i: (bh, 0, 0)),      # K/V scales
                 ],
                 out_specs=q_spec2,
                 out_shape=out_shape,
                 scratch_shapes=[
-                    pltpu.VMEM((NBUF, GROUP * block_k, D), jnp.int8),
-                    pltpu.VMEM((NBUF, GROUP * block_k, D), jnp.int8),
+                    pltpu.VMEM((NBUF, GROUP * block_k, 2 * D), jnp.int8),
                 ] + common_scratch,
                 compiler_params=cp,
                 interpret=interpret,
-            )(lut_flat, qi, qs, ki, vi, kvs)
+            )(lut_flat, qi, qs, kvi, kvs)
         else:
             def kernel(lut_hbm, q_ref, k_hbm, v_hbm, o_ref,
                        kbuf, vbuf, sems, lut_ref, lut_sem, acc_scr):

@@ -25,11 +25,36 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
+def lambda_linear_schedule(base_lr: float, warmup_steps: int = 1000,
+                           f_start: float = 1e-6, f_max: float = 1.0,
+                           f_min: float = 1.0):
+    """LambdaLinearScheduler (rcm/utils/lr_scheduler.py): linear warmup from
+    f_start to f_max over warmup_steps, then constant f_min multiplier."""
+    def schedule(step):
+        frac = jnp.clip(step / max(warmup_steps, 1), 0.0, 1.0)
+        mult = jnp.where(step < warmup_steps,
+                         f_start + (f_max - f_start) * frac, f_min)
+        return base_lr * mult
+    return schedule
+
+
 def make_optimizer(lr: float = 1e-5, weight_decay: float = 1e-4,
-                   b1: float = 0.9, b2: float = 0.95):
+                   b1: float = 0.9, b2: float = 0.95,
+                   warmup_steps: int = 0, grad_clip: float = 0.0,
+                   force_finite: bool = True):
     """AdamW ≡ the reference's FusedAdam with fp32 master weights
-    (imaginaire/utils/fused_adam.py); optax keeps moments in fp32."""
-    return optax.adamw(lr, b1=b1, b2=b2, weight_decay=weight_decay)
+    (imaginaire/utils/fused_adam.py); optax keeps moments in fp32.
+    grad_clip + force_finite ≡ the GradClip callback's clip_grad_norm_ with
+    nan_to_num (rcm/callbacks/grad_clip.py:27-61)."""
+    parts = []
+    if force_finite:
+        parts.append(optax.stateless(lambda g, p: jax.tree.map(
+            lambda x: jnp.nan_to_num(x, nan=0.0, posinf=0.0, neginf=0.0), g)))
+    if grad_clip > 0:
+        parts.append(optax.clip_by_global_norm(grad_clip))
+    sched = lambda_linear_schedule(lr, warmup_steps) if warmup_steps else lr
+    parts.append(optax.adamw(sched, b1=b1, b2=b2, weight_decay=weight_decay))
+    return optax.chain(*parts)
 
 
 def sla_finetune_loss(params, cfg: WanConfig, batch, key):

@@ -69,6 +69,35 @@ class JsonlLogger(Callback):
                  **{k: float(v) for k, v in metrics.items()}}) + "\n")
 
 
+class HeartBeat(Callback):
+    """Touches a liveness file every N seconds for external monitors
+    (rcm/callbacks/heart_beat.py:29-106)."""
+
+    def __init__(self, path: str, every_secs: float = 60.0):
+        self.path = path
+        self.every_secs = every_secs
+        self._last = 0.0
+
+    def on_training_step_end(self, state, metrics, iteration):
+        now = time.time()
+        if now - self._last >= self.every_secs:
+            with open(self.path, "w") as f:
+                f.write(f"{iteration} {now}\n")
+            self._last = now
+
+
+class GradNormMonitor(Callback):
+    """Per-step parameter-norm record (GradClip magnitude records,
+    rcm/callbacks/grad_clip.py:55)."""
+
+    def __init__(self):
+        self.history = []
+
+    def on_training_step_end(self, state, metrics, iteration):
+        if "grad_norm" in metrics:
+            self.history.append(float(metrics["grad_norm"]))
+
+
 @dataclass
 class TrainerConfig:
     max_iter: int = 1000
