@@ -131,3 +131,21 @@ def test_heartbeat_callback(tmp_path):
     hb = HeartBeat(str(tmp_path / "hb.txt"), every_secs=0.0)
     hb.on_training_step_end(None, {}, 7)
     assert (tmp_path / "hb.txt").read_text().startswith("7 ")
+
+
+def test_native_host_ops_match_numpy():
+    """C++ host-ops (csrc/host_ops.cpp via ctypes) == numpy reference."""
+    from turbodiffusion_tpu.utils import host_ops as H
+    rng = np.random.RandomState(0)
+    u8 = rng.randint(0, 256, (3, 4, 5), np.uint8)
+    np.testing.assert_allclose(H.u8_to_f32_norm(u8),
+                               u8.astype(np.float32) * (2 / 255) - 1,
+                               rtol=1e-6)
+    f = rng.rand(100).astype(np.float32) * 1.4 - 0.2
+    np.testing.assert_array_equal(
+        H.f32_to_u8(f), (np.clip(f, 0, 1) * 255 + 0.5).astype(np.uint8))
+    a = rng.rand(64).astype(np.float32)
+    b = a + 0.01
+    ref = 10 * np.log10(1.0 / np.mean((a - b).astype(np.float64) ** 2))
+    np.testing.assert_allclose(H.psnr(a, b), ref, rtol=1e-4)
+    assert H.psnr(a, a) >= 1e8

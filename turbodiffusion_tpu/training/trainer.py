@@ -98,6 +98,31 @@ class GradNormMonitor(Callback):
             self.history.append(float(metrics["grad_norm"]))
 
 
+class EveryNDrawSample(Callback):
+    """Periodically run the few-step sampler and save decoded videos —
+    training-time visual validation (rcm/callbacks/every_n_draw_distill.py:102,
+    every_n_draw_sla.py:90). Draws with both regular and EMA weights when EMA
+    is tracked."""
+
+    def __init__(self, every_n: int, draw_fn, out_dir: str = "samples"):
+        """draw_fn(params, tag, iteration) -> path of the saved sample."""
+        self.every_n = every_n
+        self.draw_fn = draw_fn
+        self.out_dir = out_dir
+
+    def on_training_step_end(self, state, metrics, iteration):
+        if iteration == 0 or iteration % self.every_n:
+            return
+        params = getattr(state, "student", None) or getattr(state, "params")
+        try:
+            self.draw_fn(params, "reg", iteration)
+            ema = getattr(state, "ema", None)
+            if ema is not None:
+                self.draw_fn(ema, "ema", iteration)
+        except Exception as e:  # sampling must never kill training
+            log.warning(f"EveryNDrawSample failed at iter {iteration}: {e}")
+
+
 @dataclass
 class TrainerConfig:
     max_iter: int = 1000

@@ -16,10 +16,10 @@ import numpy as np
 
 
 def to_uint8_frames(video_c_t_h_w: np.ndarray) -> np.ndarray:
-    """(C, T, H, W) float in [0, 1] -> (T, H, W, C) uint8 (io.py:100-112)."""
-    v = np.asarray(video_c_t_h_w, np.float32)
-    v = np.clip(v, 0.0, 1.0)
-    v = (v * 255.0 + 0.5).astype(np.uint8)
+    """(C, T, H, W) float in [0, 1] -> (T, H, W, C) uint8 (io.py:100-112).
+    Conversion runs in the native host-ops library when built."""
+    from turbodiffusion_tpu.utils.host_ops import f32_to_u8
+    v = f32_to_u8(np.asarray(video_c_t_h_w, np.float32))
     return np.transpose(v, (1, 2, 3, 0))
 
 
