@@ -177,7 +177,8 @@ class WanPipeline:
         x = noise * t_steps[0]
         x = self._denoise_latents([params] * num_steps, x, text_emb,
                                   t_steps, key, ode)
-        video = vae_decode(vae_params, x)
+        chunk = 4 if (x.shape[2] - 1) % 4 == 0 else 1
+        video = vae_decode(vae_params, x, chunk=chunk)
         return (1.0 + jnp.clip(video, -1.0, 1.0)) / 2.0
 
     def generate_t2v(self, prompt: str, gen: GenerationConfig = GenerationConfig(),
@@ -212,7 +213,8 @@ class WanPipeline:
                for i in range(num_steps)]
         x = noise * t_steps[0]
         x = self._denoise_latents(pps, x, text_emb, t_steps, key, ode, y=y)
-        video = vae_decode(vae_params, x)
+        chunk = 4 if (x.shape[2] - 1) % 4 == 0 else 1
+        video = vae_decode(vae_params, x, chunk=chunk)
         return (1.0 + jnp.clip(video, -1.0, 1.0)) / 2.0
 
     def generate_i2v(self, prompt: str, image_chw: np.ndarray,
