@@ -155,3 +155,18 @@ def test_flash_sparse_int8_close_to_fp():
     err = np.abs(np.asarray(out) - np.asarray(ref))
     rel = err.max() / np.abs(np.asarray(ref)).max()
     assert rel < 0.05, f"int8 sparse attention error too large: {rel}"
+
+
+def test_fused_linear_attention_projected_matches_ref():
+    """Pallas fused linear branch (+folded proj_l) == jnp reference."""
+    from turbodiffusion_tpu.ops.linear_attention_pallas import (
+        linear_attention_projected)
+    q, k, v = _qkv(L=300)
+    D = q.shape[-1]
+    kw = jax.random.split(jax.random.PRNGKey(9), 2)
+    w = jax.random.normal(kw[0], (D, D)) * 0.1
+    b = jax.random.normal(kw[1], (D,)) * 0.1
+    ref = jnp.matmul(linear_attention(q, k, v, "softmax"), w) + b
+    out = linear_attention_projected(q, k, v, w, b, block=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)

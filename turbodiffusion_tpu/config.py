@@ -56,6 +56,11 @@ class AttentionConfig:
     # autodiff through the model: the Pallas kernels carry a custom VJP,
     # which jax.jvp cannot traverse).
     use_reference_impl: bool = False
+    # Sparse-only fast path: skip the linear-attention compensation branch
+    # when proj_l is known to be all-zero — its contribution is exactly 0
+    # (reference: acceleration.py:249-380, TURBOT2AV_SLA_SKIP_ZERO_LINEAR;
+    # detected automatically at checkpoint load).
+    linear_branch: bool = True
 
 
 # ---------------------------------------------------------------------------

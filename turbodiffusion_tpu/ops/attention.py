@@ -186,6 +186,18 @@ def sla_attention(q, k, v, proj_l, cfg: AttentionConfig,
     else:
         o_s = sparse_attention_ref(q, k, v, lut, cfg.block_q, cfg.block_k)
 
+    if not cfg.linear_branch:
+        # sparse-only fast path: a zero proj_l contributes exactly zero
+        # (acceleration.py:249-380)
+        return o_s
+
+    if (_use_pallas(q, cfg.block_q, cfg.block_k)
+            and cfg.feature_map == "softmax"):
+        from turbodiffusion_tpu.ops.linear_attention_pallas import (
+            linear_attention_projected)
+        o_l = linear_attention_projected(q, k, v, proj_l["w"], proj_l["b"])
+        return (o_s + o_l).astype(q.dtype)
+
     o_l = linear_attention(q, k, v, cfg.feature_map)
     # proj_l runs in the compute dtype (reference autocasts to bf16,
     # SLA/core.py:112-113); weights stored fp32, zero-init.

@@ -360,10 +360,13 @@ def _sparse_attn_kernel_i8(lut_hbm, q_ref, qs_ref, kv_hbm, kvs_ref,
 
 def _rowquant_i8(x, eps=1e-6):
     """Per-row symmetric int8 quant: (N, L, D) -> int8 values + fp32 scales
-    (N, L, 1)."""
-    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    (N, L, 1). The absmax and scaling stay in the input dtype (bf16) so no
+    full-size fp32 copy is materialized; only the (N, L, 1) scales are f32."""
+    amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True).astype(jnp.float32)
     scale = jnp.maximum(amax, eps) / 127.0
-    xi = jnp.round(x.astype(jnp.float32) / scale).astype(jnp.int8)
+    inv = (1.0 / scale).astype(x.dtype)
+    xi = jnp.clip(jnp.round((x * inv).astype(jnp.float32)), -127, 127
+                  ).astype(jnp.int8)
     return xi, scale
 
 

@@ -86,12 +86,15 @@ def quantize_int8_postscale(w: jnp.ndarray):
 # ---------------------------------------------------------------------------
 
 def int8_linear_postscale(x, w_int8, col_scale, bias=None):
-    """y = (rowquant(x) @ w_int8) * row_scale * col_scale + bias."""
+    """y = (rowquant(x) @ w_int8) * row_scale * col_scale + bias.
+    Activation quant stays in the input dtype (no fp32 materialization)."""
     shape = x.shape
-    x2 = x.reshape(-1, shape[-1]).astype(jnp.float32)
-    row_amax = jnp.max(jnp.abs(x2), axis=-1, keepdims=True)
+    x2 = x.reshape(-1, shape[-1])
+    row_amax = jnp.max(jnp.abs(x2), axis=-1, keepdims=True).astype(jnp.float32)
     row_scale = jnp.maximum(row_amax, 1e-8) / INT8_MAX
-    xq = jnp.round(x2 / row_scale).astype(jnp.int8)
+    inv = (1.0 / row_scale).astype(x2.dtype)
+    xq = jnp.clip(jnp.round((x2 * inv).astype(jnp.float32)),
+                  -INT8_MAX, INT8_MAX).astype(jnp.int8)
     acc = jax.lax.dot_general(xq, w_int8, (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)
     y = acc.astype(jnp.float32) * row_scale * col_scale[None, :]

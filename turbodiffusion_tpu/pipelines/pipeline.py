@@ -54,7 +54,13 @@ def make_wan_cfg(model: str, attention_type: str = "sagesla",
 
 def load_dit(dit_path: Optional[str], cfg: WanConfig, seed: int = 0):
     """create_model analog (modify_model.py:130-141): load + optionally
-    quantize. dit_path=None -> random weights (checkpoint-free smoke runs)."""
+    quantize. dit_path=None -> random weights (checkpoint-free smoke runs).
+
+    Returns (params, cfg): cfg gains the sparse-only fast path when every
+    proj_l is exactly zero (≡ TURBOT2AV_SLA_SKIP_ZERO_LINEAR,
+    acceleration.py:249-380)."""
+    import dataclasses as _dc
+    import numpy as _np
     if dit_path is None:
         params = init_wan_params(jax.random.PRNGKey(seed), cfg)
     else:
@@ -63,7 +69,14 @@ def load_dit(dit_path: Optional[str], cfg: WanConfig, seed: int = 0):
     if cfg.quant_linear and "w_int8" not in params["blocks"]["self_attn"]["q"]:
         params["blocks"] = quantize_wan_blocks(params["blocks"],
                                                mode="postscale")
-    return params
+    proj_l = params["blocks"]["self_attn"].get("proj_l")
+    if proj_l is not None and cfg.attention.backend in ("sla", "sagesla"):
+        zero = (float(_np.abs(_np.asarray(proj_l["w"])).max()) == 0.0 and
+                float(_np.abs(_np.asarray(proj_l["b"])).max()) == 0.0)
+        if zero:
+            cfg = cfg.replace(attention=_dc.replace(
+                cfg.attention, linear_branch=False))
+    return params, cfg
 
 
 class TextEncoder:
@@ -129,8 +142,8 @@ class WanPipeline:
                attention_type: str = "sagesla", sla_topk: float = 0.1,
                quant_linear: bool = False, seed: int = 0):
         cfg = make_wan_cfg(model, attention_type, sla_topk, quant_linear)
-        params = load_dit(dit_path, cfg, seed)
-        params_low = (load_dit(low_noise_path, cfg, seed + 1)
+        params, cfg = load_dit(dit_path, cfg, seed)
+        params_low = (load_dit(low_noise_path, cfg, seed + 1)[0]
                       if (low_noise_path is not None or
                           cfg.model_type == "i2v") else None)
         if vae_path is None:

@@ -93,7 +93,9 @@ def main():
     if args.experiment == "sla":
         cfg = make_wan_cfg(args.model, attention_type="sla",
                            sla_topk=args.sla_topk)
-        params = load_dit(args.teacher_ckpt, cfg, args.seed)
+        # keep the linear branch during SLA training even when proj_l is
+        # zero-init — it must receive gradients (t2v_model_sla.py)
+        params, _ = load_dit(args.teacher_ckpt, cfg, args.seed)
         state = TrainState(params, optimizer.init(params),
                            jnp.zeros((), jnp.int32))
         step = make_train_step(cfg, optimizer)
@@ -103,7 +105,7 @@ def main():
         dcfg = apply_dotted_overrides(
             dcfg, [o[len("distill."):] for o in overrides
                    if o.startswith("distill.")])
-        teacher = load_dit(args.teacher_ckpt, cfg, args.seed)
+        teacher, _ = load_dit(args.teacher_ckpt, cfg, args.seed)
         state = D.create_distill_state(teacher, optimizer, dcfg)
         step = D.make_distill_steps(cfg, dcfg, optimizer)
 
