@@ -159,3 +159,34 @@ def test_bidirectional_pipeline(ltx):
 
     sig = trig_student_sigmas(4)
     assert len(sig) == 5 and sig[-1] == 0.0
+
+
+def test_ltx_video_vae_shapes_and_roundtrip():
+    """32x spatial (patch4 x space x 2*all... test cfg: 4*2*2=16x), temporal
+    1+(F-1)/4 in the 3-block test config; F' = 1 + (F-1)/2^n_time."""
+    from turbodiffusion_tpu.models.ltx_vae import (
+        init_ltx_vae, ltx_vae_decode, ltx_vae_encode, ltx_vae_test_config)
+    cfg = ltx_vae_test_config()
+    enc, dec = init_ltx_vae(jax.random.PRNGKey(0), cfg)
+    assert cfg.spatial_factor == 16 and cfg.temporal_factor == 4
+    video = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 5, 32, 32))
+    z = ltx_vae_encode(enc, cfg, video)
+    assert z.shape == (1, cfg.latent_channels, 2, 2, 2)
+    assert np.isfinite(np.asarray(z)).all()
+    out = ltx_vae_decode(dec, cfg, z)
+    assert out.shape == (1, 3, 5, 32, 32)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_ltx_video_vae_causal_first_frame():
+    """Frame 0 of the decode must not depend on later latent frames."""
+    from turbodiffusion_tpu.models.ltx_vae import (
+        init_ltx_vae, ltx_vae_decode, ltx_vae_test_config)
+    cfg = ltx_vae_test_config()
+    _, dec = init_ltx_vae(jax.random.PRNGKey(0), cfg)
+    z1 = jax.random.normal(jax.random.PRNGKey(2), (1, cfg.latent_channels, 3, 2, 2))
+    z2 = z1.at[:, :, 2:].set(0.0)
+    v1 = ltx_vae_decode(dec, cfg, z1)
+    v2 = ltx_vae_decode(dec, cfg, z2)
+    np.testing.assert_allclose(np.asarray(v1[:, :, 0]), np.asarray(v2[:, :, 0]),
+                               rtol=1e-4, atol=1e-4)
