@@ -16,5 +16,7 @@ import jax  # noqa: E402
 # ignores the JAX_PLATFORMS env var, so use jax.config directly.
 if not os.environ.get("TDX_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
-
-jax.config.update("jax_default_matmul_precision", "highest")
+    # full-precision matmuls for tight CPU equivalence tolerances; NOT set on
+    # TPU runs — "highest" would force unsupported multi-pass emulation
+    # inside the Pallas kernels' bf16 dots.
+    jax.config.update("jax_default_matmul_precision", "highest")

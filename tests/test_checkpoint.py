@@ -68,6 +68,9 @@ def test_strip_prefix_net():
     sd = {"net.a": 1, "net.b": 2}
     assert strip_prefix(sd) == {"a": 1, "b": 2}
     assert strip_prefix({"x": 3}) == {"x": 3}
+    # EMA weights win when both prefixes exist (dcp_to_pth.py:36-46)
+    both = {"net.a": 1, "net_ema.a": 10, "net.b": 2, "net_ema.b": 20}
+    assert strip_prefix(both) == {"a": 10, "b": 20}
 
 
 def test_merge_models_task_arithmetic():

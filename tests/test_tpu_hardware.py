@@ -1,0 +1,90 @@
+"""On-hardware kernel validation — runs only with TDX_TEST_TPU=1.
+
+Usage: TDX_TEST_TPU=1 python -m pytest tests/test_tpu_hardware.py -q
+(conftest.py keeps the default suite on the 8-device virtual CPU mesh).
+"""
+
+import os
+
+import pytest
+
+requires_tpu = pytest.mark.skipif(
+    not os.environ.get("TDX_TEST_TPU"), reason="set TDX_TEST_TPU=1")
+
+
+@requires_tpu
+def test_flash_kernels_on_tpu():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from turbodiffusion_tpu.ops.attention import (
+        dense_attention_ref, get_block_map, sparse_attention_ref)
+    from turbodiffusion_tpu.ops.flash_pallas import flash_attention
+
+    assert jax.default_backend() == "tpu"
+    B, L, H, D = 1, 2048, 12, 128
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (B, L, H, D), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (B, L, H, D), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (B, L, H, D), jnp.bfloat16)
+    f32 = lambda x: x.astype(jnp.float32)
+
+    ref = dense_attention_ref(f32(q), f32(k), f32(v))
+    out = flash_attention(q, k, v)
+    assert np.abs(np.asarray(out, np.float32) - np.asarray(ref)).max() < 5e-3
+
+    _, lut, _ = get_block_map(q, k, 0.25, 128, 128)
+    refs = sparse_attention_ref(f32(q), f32(k), f32(v), lut, 128, 128)
+    o_s = flash_attention(q, k, v, lut=lut)
+    assert np.abs(np.asarray(o_s, np.float32) - np.asarray(refs)).max() < 5e-3
+
+    o8 = flash_attention(q, k, v, lut=lut, int8_qk=True)
+    rel = np.abs(np.asarray(o8, np.float32) - np.asarray(refs)).max() / \
+        np.abs(np.asarray(refs)).max()
+    assert rel < 0.05
+
+
+@requires_tpu
+def test_int8_gemm_on_tpu():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from turbodiffusion_tpu.ops.quant import (
+        int8_linear_block, int8_linear_postscale, quantize_int8_block,
+        quantize_int8_postscale)
+
+    kx, kw = jax.random.split(jax.random.PRNGKey(1))
+    x = jax.random.normal(kx, (512, 1536), jnp.bfloat16)
+    w = jax.random.normal(kw, (1536, 1536), jnp.float32) * 0.02
+    ref = np.asarray(x, np.float32) @ np.asarray(w)
+
+    wq, ws = quantize_int8_block(w)
+    y = int8_linear_block(x, wq, ws)
+    rel = np.abs(np.asarray(y, np.float32) - ref).max() / np.abs(ref).max()
+    assert rel < 0.06, rel
+
+    wq2, ws2 = quantize_int8_postscale(w)
+    y2 = int8_linear_postscale(x, wq2, ws2)
+    rel2 = np.abs(np.asarray(y2, np.float32) - ref).max() / np.abs(ref).max()
+    assert rel2 < 0.06, rel2
+
+
+@requires_tpu
+def test_fused_linear_attention_on_tpu():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from turbodiffusion_tpu.ops.attention import linear_attention
+    from turbodiffusion_tpu.ops.linear_attention_pallas import (
+        linear_attention_projected)
+
+    ks = jax.random.split(jax.random.PRNGKey(2), 5)
+    q = jax.random.normal(ks[0], (1, 2048, 4, 128), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (1, 2048, 4, 128), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (1, 2048, 4, 128), jnp.bfloat16)
+    w = jax.random.normal(ks[3], (128, 128), jnp.float32) * 0.1
+    b = jax.random.normal(ks[4], (128,), jnp.float32) * 0.1
+    ref = jnp.matmul(linear_attention(q, k, v).astype(jnp.float32), w) + b
+    out = linear_attention_projected(q, k, v, w, b)
+    err = np.abs(np.asarray(out, np.float32) - np.asarray(ref)).max()
+    assert err < 2e-2, err

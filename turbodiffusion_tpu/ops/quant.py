@@ -129,7 +129,7 @@ def int8_block_matmul_ref(xq, xs, wq, ws, block: int = QBLOCK):
 
 def _gemm_kernel(xq_ref, wq_ref, xs_ref, ws_ref, bias_ref, o_ref, acc_scr,
                  *, n_k: int, out_dtype):
-    k = pl.program_id(2)
+    m, n, k = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
@@ -137,7 +137,9 @@ def _gemm_kernel(xq_ref, wq_ref, xs_ref, ws_ref, bias_ref, o_ref, acc_scr,
 
     prod = jax.lax.dot_general(xq_ref[...], wq_ref[...], (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.int32)
-    acc_scr[...] += prod.astype(jnp.float32) * (xs_ref[0, 0] * ws_ref[0, 0])
+    # scale rows live in SMEM as full (1, 1, Kb)/(1, Kb, Nb) blocks — per-tile
+    # (1,1) BlockSpecs violate Mosaic's lane tiling
+    acc_scr[...] += prod.astype(jnp.float32) * (xs_ref[0, 0, k] * ws_ref[0, k, n])
 
     @pl.when(k == n_k - 1)
     def _():
@@ -159,10 +161,12 @@ def _int8_block_matmul_pallas(xq, xs, wq, ws, bias, block: int = QBLOCK,
     in_specs = [
         pl.BlockSpec((block, block), lambda m, n, k: (m, k)),
         pl.BlockSpec((block, block), lambda m, n, k: (k, n)),
-        pl.BlockSpec((1, 1), lambda m, n, k: (m, k), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1), lambda m, n, k: (k, n), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, Kb), lambda m, n, k: (m, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, Kb, Nb), lambda m, n, k: (0, 0, 0),
+                     memory_space=pltpu.SMEM),
     ]
-    args = [xqp, wqp, xs, ws]
+    args = [xqp, wqp, xs.reshape(Mb, 1, Kb), ws.reshape(1, Kb, Nb)]
     if has_bias:
         in_specs.append(pl.BlockSpec((1, block), lambda m, n, k: (0, n)))
         bp = jnp.pad(bias.astype(jnp.float32), (0, Nb * block - N))

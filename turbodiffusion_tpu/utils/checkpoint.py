@@ -54,6 +54,10 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
 def strip_prefix(sd: Dict[str, Any], prefix: str = "net.") -> Dict[str, Any]:
     """Drop a training-wrapper prefix; prefer `net_ema.` keys when both exist
     (dcp_to_pth.py extracts EMA weights :36-46)."""
+    ema = {k[len("net_ema."):]: v for k, v in sd.items()
+           if k.startswith("net_ema.")}
+    if ema:
+        return ema
     out = {}
     for k, v in sd.items():
         if k.startswith(prefix):
