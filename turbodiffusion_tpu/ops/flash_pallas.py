@@ -416,7 +416,17 @@ def _flash_fwd_impl(q, k, v, lut, *, scale, block_q, block_k, int8_qk,
     else:
         sel = lut.shape[-1]
         NBUF = 4             # K/V tile ring depth
-        GROUP = min(8, sel)  # selected 128-blocks gathered per MXU pass
+        # Gather GROUP selected blocks per MXU pass. Padded entries re-fetch
+        # real blocks (masked but not free), so pick the GROUP in [4, 8] that
+        # minimizes ceil(sel/G)*G - sel, preferring larger tiles on ties.
+        GROUP = min(8, sel)
+        best_waste = _cdiv(sel, GROUP) * GROUP - sel
+        for g in range(8, 3, -1):
+            if g > sel:
+                continue
+            waste = _cdiv(sel, g) * g - sel
+            if waste < best_waste:
+                GROUP, best_waste = g, waste
         n_groups = _cdiv(sel, GROUP)
         # Pad LUT entries to a full last group (with a valid block id; the
         # kernel masks padded entries by index), then pad the lane dim to the
