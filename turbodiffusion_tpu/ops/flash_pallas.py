@@ -374,11 +374,13 @@ def _flash_fwd_impl(q, k, v, lut, *, scale, block_q, block_k, int8_qk,
                     interpret):
     B, L, H, D = q.shape
     Lk = k.shape[1]
-    # Dense traversal uses large tiles to amortize per-grid-step overhead;
-    # sparse tiles must match the block-map granularity.
+    # Dense traversal uses large tiles to amortize per-grid-step overhead
+    # (clamped to the actual padded lengths — e.g. 512-token cross-attention
+    # must not pad K to a 1024 tile); sparse tiles must match the block-map
+    # granularity.
     if lut is None:
-        block_q = max(block_q, 512)
-        block_k = max(block_k, 1024)
+        block_q = min(max(block_q, 512), _cdiv(L, 128) * 128)
+        block_k = min(max(block_k, 1024), _cdiv(Lk, 128) * 128)
     nQ = _cdiv(L, block_q)
     nK = _cdiv(Lk, block_k)
     Lp, Lkp = nQ * block_q, nK * block_k
