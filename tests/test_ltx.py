@@ -190,3 +190,38 @@ def test_ltx_video_vae_causal_first_frame():
     v2 = ltx_vae_decode(dec, cfg, z2)
     np.testing.assert_allclose(np.asarray(v1[:, :, 0]), np.asarray(v2[:, :, 0]),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_audio_vae_roundtrip_shapes():
+    from turbodiffusion_tpu.models.ltx_audio import (
+        AudioVAEConfig, audio_vae_decode, audio_vae_encode,
+        audio_vae_test_config, init_audio_vae)
+    cfg = audio_vae_test_config()
+    enc, dec = init_audio_vae(jax.random.PRNGKey(0), cfg)
+    mel = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 8, cfg.mel_bins))
+    z = audio_vae_encode(enc, cfg, mel)
+    assert z.shape == (1, cfg.z_channels, 4, cfg.mel_bins // 2)
+    out = audio_vae_decode(dec, cfg, z)
+    assert out.shape == mel.shape
+    assert np.isfinite(np.asarray(out)).all()
+    # 16kHz / hop 160 / x4 time downsample = 25 latent fps (ltx_wrapper.py:49)
+    from turbodiffusion_tpu.models.ltx_audio import AudioVAEConfig as C
+    assert C().latent_fps == 25.0
+
+
+def test_vocoder_upsample_factor():
+    from turbodiffusion_tpu.models.ltx_audio import (
+        init_vocoder, vocoder_synthesize, vocoder_test_config)
+    cfg = vocoder_test_config()
+    params = init_vocoder(jax.random.PRNGKey(0), cfg)
+    mel = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 6, cfg.mel_bins))
+    wav = vocoder_synthesize(params, cfg, mel)
+    assert wav.shape == (1, 2, 6 * 4 * 2)   # prod(upsample_rates)
+    assert np.abs(np.asarray(wav)).max() <= 1.0
+    # mono input path
+    mcfg = vocoder_test_config(stereo=False)
+    mparams = init_vocoder(jax.random.PRNGKey(3), mcfg)
+    mono = vocoder_synthesize(mparams, mcfg,
+                              jax.random.normal(jax.random.PRNGKey(2),
+                                                (1, 6, mcfg.mel_bins)))
+    assert mono.shape == (1, 1, 48)
