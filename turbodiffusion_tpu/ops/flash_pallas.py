@@ -519,6 +519,72 @@ def _flash_fwd_impl(q, k, v, lut, *, scale, block_q, block_k, int8_qk,
 # Backward (recompute-based reference; fused Pallas bwd is future work)
 # ---------------------------------------------------------------------------
 
+def _attention_bwd_sparse(q, k, v, lut, g, scale, block_q, block_k):
+    """Block-sparse attention VJP with O(L * topk * block_k) memory.
+
+    Gathers each Q-block's selected K/V blocks (like the forward kernel),
+    computes the local softmax backward, and scatter-adds dk/dv back through
+    the LUT — never materializing the (L, Lk) score matrix, so SLA training
+    fits at 32k-token sequences (semantics: SLA/kernel.py:86-237).
+    Heads are processed under lax.map to bound the transient footprint.
+    """
+    B, L, H, D = q.shape
+    Lk = k.shape[1]
+    nQ = _cdiv(L, block_q)
+    nK = _cdiv(Lk, block_k)
+    Lp, Lkp = nQ * block_q, nK * block_k
+    sel = lut.shape[-1]
+
+    def fold(x, lp):
+        x = jnp.swapaxes(x, 1, 2).reshape(B * H, x.shape[1], D)
+        return jnp.pad(x.astype(jnp.float32), ((0, 0), (0, lp - x.shape[1]),
+                                               (0, 0)))
+
+    qf, kf, vf, gf = fold(q, Lp), fold(k, Lkp), fold(v, Lkp), fold(g, Lp)
+    lut_f = lut.reshape(B * H, nQ, sel)
+
+    # masks, shared across heads
+    colpad = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, sel * block_k), 2)
+              % block_k)
+
+    def per_head(args):
+        qh, kh, vh, gh, luth = args            # (Lp,D),(Lkp,D),(Lkp,D),(Lp,D),(nQ,sel)
+        qg = qh.reshape(nQ, block_q, D)
+        dog = gh.reshape(nQ, block_q, D)
+        kg = kh.reshape(nK, block_k, D)[luth]  # (nQ, sel, bk, D)
+        vg = vh.reshape(nK, block_k, D)[luth]
+        kg = kg.reshape(nQ, sel * block_k, D)
+        vg = vg.reshape(nQ, sel * block_k, D)
+
+        s = jnp.einsum("qbd,qkd->qbk", qg, kg) * scale
+        col = (luth[:, :, None] * block_k +
+               jnp.arange(block_k)[None, None, :]).reshape(nQ, 1, -1)
+        s = jnp.where(col < Lk, s, NEG_INF)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+
+        dp = jnp.einsum("qbd,qkd->qbk", dog, vg)
+        delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+        ds = p * (dp - delta) * scale
+
+        dq = jnp.einsum("qbk,qkd->qbd", ds, kg).reshape(Lp, D)
+        dk_parts = jnp.einsum("qbk,qbd->qkd", ds, qg)   # (nQ, sel*bk, D)
+        dv_parts = jnp.einsum("qbk,qbd->qkd", p, dog)
+        idx = col.reshape(-1)                           # (nQ*sel*bk,)
+        dk = jnp.zeros((Lkp, D), jnp.float32).at[idx].add(
+            dk_parts.reshape(-1, D), mode="drop")
+        dv = jnp.zeros((Lkp, D), jnp.float32).at[idx].add(
+            dv_parts.reshape(-1, D), mode="drop")
+        return dq, dk, dv
+
+    dq, dk, dv = jax.lax.map(per_head, (qf, kf, vf, gf, lut_f))
+    unfold = lambda x, ln: jnp.swapaxes(
+        x.reshape(B, H, -1, D)[:, :, :ln], 1, 2)
+    return (unfold(dq, L).astype(q.dtype), unfold(dk, Lk).astype(k.dtype),
+            unfold(dv, Lk).astype(v.dtype))
+
+
 def _attention_bwd_ref(q, k, v, lut, g, scale, block_q, block_k):
     """Masked softmax-attention VJP computed from saved q/k/v.
 
@@ -564,8 +630,12 @@ def _make_flash_fn(scale, block_q, block_k, int8_qk, interpret):
 
     def bwd(res, g):
         q, k, v, lut = res
-        dq, dk, dv = _attention_bwd_ref(q, k, v, lut, g, scale,
-                                        block_q, block_k)
+        if lut is not None:
+            dq, dk, dv = _attention_bwd_sparse(q, k, v, lut, g, scale,
+                                               block_q, block_k)
+        else:
+            dq, dk, dv = _attention_bwd_ref(q, k, v, lut, g, scale,
+                                            block_q, block_k)
         dlut = None if lut is None else np.zeros(lut.shape, jax.dtypes.float0)
         return dq, dk, dv, dlut
 
