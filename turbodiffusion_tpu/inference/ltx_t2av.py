@@ -53,6 +53,10 @@ def main():
                    help="measure generator-only latency (reference metric)")
     p.add_argument("--warmup", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--decode", action="store_true",
+                   help="decode video+audio through the VAEs/vocoder and save "
+                        "outputs (run_av_inference_eval.py decode path)")
+    p.add_argument("--save_path", default="output/t2av")
     args = p.parse_args()
 
     import jax
@@ -126,6 +130,49 @@ def main():
         }))
     print("video out:", vo.shape, "audio out:", ao.shape,
           "finite:", bool(jnp.isfinite(vo).all() & jnp.isfinite(ao).all()))
+
+    if args.decode:
+        # _decode_and_save_sample analog (run_av_inference_eval.py:227-307):
+        # video latent -> frames via the video VAE; audio latent -> mel via
+        # the audio VAE -> waveform via the vocoder. Random-weight VAEs here
+        # until checkpoint configs exist; the plumbing is the deliverable.
+        import numpy as np
+        from turbodiffusion_tpu.models.ltx_audio import (
+            AudioVAEConfig, audio_vae_decode, init_audio_vae, init_vocoder,
+            VocoderConfig, vocoder_synthesize)
+        from turbodiffusion_tpu.models.ltx_vae import (
+            LTXVAEConfig, init_ltx_vae, ltx_vae_decode_tiled)
+        from turbodiffusion_tpu.utils.video_io import save_video
+
+        vcfg = LTXVAEConfig()
+        _, vdec = init_ltx_vae(jax.random.PRNGKey(10), vcfg)
+        v_lat = jnp.moveaxis(vo.reshape(1, grid[0], grid[1], grid[2],
+                                        cfg.video_in_channels), -1, 1)
+        frames = ltx_vae_decode_tiled(vdec, vcfg, v_lat.astype(jnp.float32),
+                                      tile=16)
+        video = np.asarray((jnp.clip(frames, -1, 1) + 1) / 2)
+        vp = save_video(video[0], args.save_path + ".mp4", fps=30)
+        print(f"video decoded {video.shape} -> {vp}")
+
+        acfg = AudioVAEConfig()
+        _, adec = init_audio_vae(jax.random.PRNGKey(11), acfg)
+        a_lat = jnp.swapaxes(ao, 1, 2).reshape(
+            1, cfg.audio_in_channels, -1)[:, :acfg.z_channels]
+        a_lat = a_lat[:, :, :, None] * jnp.ones((1, 1, 1, acfg.mel_bins // 4),
+                                                jnp.float32)
+        mel = audio_vae_decode(adec, acfg, a_lat)
+        vocfg = VocoderConfig()
+        voc = init_vocoder(jax.random.PRNGKey(12), vocfg)
+        # mel from the audio VAE is (B, 2, T_mel, mel_bins) — the vocoder's
+        # stereo input layout already
+        wav = np.asarray(vocoder_synthesize(voc, vocfg, mel))
+        import wave, struct
+        wav16 = (np.clip(wav[0, 0], -1, 1) * 32767).astype(np.int16)
+        with wave.open(args.save_path + ".wav", "wb") as f:
+            f.setnchannels(1); f.setsampwidth(2)
+            f.setframerate(vocfg.output_sample_rate)
+            f.writeframes(wav16.tobytes())
+        print(f"audio decoded {wav.shape} -> {args.save_path}.wav")
 
 
 if __name__ == "__main__":
