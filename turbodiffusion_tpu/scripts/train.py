@@ -93,12 +93,16 @@ def main():
     if args.experiment == "sla":
         cfg = make_wan_cfg(args.model, attention_type="sla",
                            sla_topk=args.sla_topk)
-        # keep the linear branch during SLA training even when proj_l is
-        # zero-init — it must receive gradients (t2v_model_sla.py)
+        cfg_teacher = make_wan_cfg(args.model, attention_type="original")
+        # student initializes FROM the teacher weights; the teacher stays
+        # frozen with dense attention (t2v_model_sla.py). Keep the linear
+        # branch even with zero-init proj_l — it must receive gradients.
         params, _ = load_dit(args.teacher_ckpt, cfg, args.seed)
+        teacher, _ = load_dit(args.teacher_ckpt, cfg_teacher, args.seed)
         state = TrainState(params, optimizer.init(params),
                            jnp.zeros((), jnp.int32))
-        step = make_train_step(cfg, optimizer)
+        from turbodiffusion_tpu.training.train_step import make_sla_train_step
+        step = make_sla_train_step(cfg, cfg_teacher, teacher, optimizer)
     else:
         cfg = make_wan_cfg(args.model, attention_type="original")
         dcfg = D.DistillConfig()

@@ -384,6 +384,10 @@ def make_distill_steps(cfg: WanConfig, dcfg: DistillConfig, optimizer,
 
     def train_step(state: DistillState, batch, key):
         """One outer iteration with phase dispatch + power-EMA."""
+        # strip non-array entries (e.g. 'prompts' strings from the tar
+        # shards) before crossing the jit boundary
+        batch = {k: v for k, v in batch.items()
+                 if hasattr(v, "dtype") or isinstance(v, (int, float))}
         it = int(state.step)
         if is_student_phase(it, dcfg, with_fake):
             eff = effective_iteration(it, dcfg, with_fake)

@@ -57,6 +57,49 @@ def make_optimizer(lr: float = 1e-5, weight_decay: float = 1e-4,
     return optax.chain(*parts)
 
 
+def make_sla_train_step(cfg_student: WanConfig, cfg_teacher: WanConfig,
+                        teacher_params, optimizer, loss_scale: float = 1.0,
+                        p_mean: float = 0.0, p_std: float = 1.6,
+                        t_scaling: float = 1000.0):
+    """White-box SLA finetuning exactly as t2v_model_sla.py:300-336:
+    draw RF time ~ LogNormal, noise the latents, regress the sparse student's
+    velocity onto the frozen dense teacher's velocity at the same input."""
+    import functools
+    from turbodiffusion_tpu.training.timesteps import LogNormal
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def _step(state: TrainState, batch, key):
+        x0 = batch["latents"].astype(jnp.float32)
+        emb = batch["t5_text_embeddings"]
+        B = x0.shape[0]
+        k_t, k_eps = jax.random.split(key)
+        rf_t = LogNormal(p_mean, p_std)(k_t, (B, 1))
+        eps = jax.random.normal(k_eps, x0.shape, jnp.float32)
+        t5 = rf_t[:, :, None, None, None]
+        xt = (1.0 - t5) * x0 + t5 * eps
+        tt = (rf_t * t_scaling).astype(jnp.float32)
+
+        v_teacher = jax.lax.stop_gradient(
+            wan_forward(teacher_params, cfg_teacher, xt, tt, emb)
+        ).astype(jnp.float32)
+
+        def loss_fn(p):
+            v = wan_forward(p, cfg_student, xt, tt, emb).astype(jnp.float32)
+            return loss_scale * jnp.mean((v - v_teacher) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    def train_step(state, batch, key):
+        batch = {k: v for k, v in batch.items() if hasattr(v, "dtype")}
+        state, loss = _step(state, batch, key)
+        return state, {"loss": loss}
+    return train_step
+
+
 def sla_finetune_loss(params, cfg: WanConfig, batch, key):
     """White-box SLA loss: student (sparse attention) regresses the dense
     teacher's velocity. batch: {'latents', 'teacher_velocity',
@@ -70,11 +113,16 @@ def sla_finetune_loss(params, cfg: WanConfig, batch, key):
 
 def make_train_step(cfg: WanConfig, optimizer):
     @jax.jit
-    def train_step(state: TrainState, batch, key):
+    def _step(state: TrainState, batch, key):
         loss, grads = jax.value_and_grad(sla_finetune_loss)(
             state.params, cfg, batch, key)
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss
+
+    def train_step(state, batch, key):
+        batch = {k: v for k, v in batch.items() if hasattr(v, "dtype")}
+        state, loss = _step(state, batch, key)
+        return state, {"loss": loss}
     return train_step
