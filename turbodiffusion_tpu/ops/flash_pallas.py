@@ -536,9 +536,10 @@ def _attention_bwd_sparse(q, k, v, lut, g, scale, block_q, block_k):
     sel = lut.shape[-1]
 
     def fold(x, lp):
+        # keep the storage dtype through the (large) gathers; compute
+        # upcasts to f32 via preferred_element_type
         x = jnp.swapaxes(x, 1, 2).reshape(B * H, x.shape[1], D)
-        return jnp.pad(x.astype(jnp.float32), ((0, 0), (0, lp - x.shape[1]),
-                                               (0, 0)))
+        return jnp.pad(x, ((0, 0), (0, lp - x.shape[1]), (0, 0)))
 
     qf, kf, vf, gf = fold(q, Lp), fold(k, Lkp), fold(v, Lkp), fold(g, Lp)
     lut_f = lut.reshape(B * H, nQ, sel)
@@ -556,7 +557,9 @@ def _attention_bwd_sparse(q, k, v, lut, g, scale, block_q, block_k):
         kg = kg.reshape(nQ, sel * block_k, D)
         vg = vg.reshape(nQ, sel * block_k, D)
 
-        s = jnp.einsum("qbd,qkd->qbk", qg, kg) * scale
+        f32 = jnp.float32
+        s = jnp.einsum("qbd,qkd->qbk", qg, kg,
+                       preferred_element_type=f32) * scale
         col = (luth[:, :, None] * block_k +
                jnp.arange(block_k)[None, None, :]).reshape(nQ, 1, -1)
         s = jnp.where(col < Lk, s, NEG_INF)
@@ -564,13 +567,17 @@ def _attention_bwd_sparse(q, k, v, lut, g, scale, block_q, block_k):
         e = jnp.exp(s)
         p = e / jnp.sum(e, axis=-1, keepdims=True)
 
-        dp = jnp.einsum("qbd,qkd->qbk", dog, vg)
+        dp = jnp.einsum("qbd,qkd->qbk", dog, vg, preferred_element_type=f32)
         delta = jnp.sum(p * dp, axis=-1, keepdims=True)
-        ds = p * (dp - delta) * scale
+        ds = (p * (dp - delta) * scale).astype(qg.dtype)
+        pc = p.astype(qg.dtype)
 
-        dq = jnp.einsum("qbk,qkd->qbd", ds, kg).reshape(Lp, D)
-        dk_parts = jnp.einsum("qbk,qbd->qkd", ds, qg)   # (nQ, sel*bk, D)
-        dv_parts = jnp.einsum("qbk,qbd->qkd", p, dog)
+        dq = jnp.einsum("qbk,qkd->qbd", ds, kg,
+                        preferred_element_type=f32).reshape(Lp, D)
+        dk_parts = jnp.einsum("qbk,qbd->qkd", ds, qg,
+                              preferred_element_type=f32)  # (nQ, sel*bk, D)
+        dv_parts = jnp.einsum("qbk,qbd->qkd", pc, dog,
+                              preferred_element_type=f32)
         idx = col.reshape(-1)                           # (nQ*sel*bk,)
         dk = jnp.zeros((Lkp, D), jnp.float32).at[idx].add(
             dk_parts.reshape(-1, D), mode="drop")
