@@ -154,6 +154,30 @@ def test_flash_sparse_custom_vjp_matches_masked_autodiff():
                                    rtol=1e-3, atol=1e-3)
 
 
+def test_fused_sparse_bwd_matches_gather_scatter_bwd():
+    """The fused Pallas backward (dq pass + inverse-LUT dk/dv pass) must
+    equal the jnp gather/scatter backward — including K blocks that NO Q
+    block selected (count=0 inverse-LUT rows must produce zero dk/dv)."""
+    from turbodiffusion_tpu.ops.flash_pallas import (
+        _attention_bwd_sparse, _flash_bwd_fused)
+
+    B, L, H, D = 1, 520, 3, 64          # nQ = nK = 5 blocks, ragged tail
+    q, k, v = _qkv(B=B, L=L, H=H, D=D, key=7)
+    g = jax.random.normal(jax.random.PRNGKey(8), q.shape, q.dtype)
+    # Hand-built LUT (entries unique per row, like top_k's output): K blocks
+    # 3 and 4 are never selected — their inverse-LUT rows have count 0.
+    lut = jnp.asarray([[0, 1], [0, 1], [0, 1], [0, 2], [0, 2]], jnp.int32)
+    lut = jnp.broadcast_to(lut, (B, H, 5, 2))
+    scale = D ** -0.5
+
+    ref = _attention_bwd_sparse(q, k, v, lut, g, scale, 128, 128)
+    got = _flash_bwd_fused(q, k, v, lut, g, scale=scale, block_q=128,
+                           block_k=128, interpret=True)
+    for a, b, name in zip(got, ref, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3, err_msg=name)
+
+
 def test_flash_sparse_int8_close_to_fp():
     """SageSLA pre-quantized INT8 K/V path stays close to the fp sparse ref."""
     q, k, v = _qkv(L=300)
@@ -178,3 +202,30 @@ def test_fused_linear_attention_projected_matches_ref():
     out = linear_attention_projected(q, k, v, w, b, block=128, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_fused_linear_attention_projected_grad():
+    """Grads flow through the fused linear branch (custom VJP recomputes in
+    jnp) and match autodiff of the reference — proj_l is SLA training's main
+    trainable, so this path must be differentiable on TPU."""
+    from turbodiffusion_tpu.ops.linear_attention_pallas import (
+        linear_attention_projected)
+    q, k, v = _qkv(L=300)
+    D = q.shape[-1]
+    kw = jax.random.split(jax.random.PRNGKey(9), 2)
+    w = jax.random.normal(kw[0], (D, D)) * 0.1
+    b = jax.random.normal(kw[1], (D,)) * 0.1
+
+    def loss_fused(q, k, v, w, b):
+        return jnp.sum(linear_attention_projected(
+            q, k, v, w, b, block=128, interpret=True) ** 2)
+
+    def loss_ref(q, k, v, w, b):
+        return jnp.sum((jnp.matmul(linear_attention(q, k, v, "softmax"), w)
+                        + b) ** 2)
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(q, k, v, w, b)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(q, k, v, w, b)
+    for a, b_, name in zip(g1, g2, ("dq", "dk", "dv", "dw", "db")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-3, atol=2e-3, err_msg=name)

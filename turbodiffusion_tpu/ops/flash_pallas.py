@@ -17,10 +17,13 @@ One kernel family covers the reference's three attention paths
                 that shift, so results match dense numerics up to quant noise
                 (SLA/core.py:195-241 is the behavioral spec).
 
-Differentiation: a custom VJP recomputes the (masked) attention in jnp on the
-backward pass — correct for SLA white-box finetuning (reference trains through
-its Triton sparse kernel the same way, SLA/kernel.py:86-237). A fused Pallas
-backward is a planned optimization.
+Differentiation: a custom VJP. For the sparse path a fused Pallas backward
+(semantics: SLA/kernel.py:86-237) runs two kernels — a dq pass that mirrors
+the forward's LUT gather (emitting each row's log-sum-exp and delta as
+byproducts, so no extra residuals are saved), and a dk/dv pass driven by an
+INVERSE LUT (for each K block: which Q blocks selected it), which turns the
+scatter-add the reference needs into plain blocked writes. A jnp gather/
+scatter fallback covers non-TPU backends; the dense path recomputes in jnp.
 
 Layout: (B, L, H, D) in/out. The wrapper folds (B, H) into one grid axis.
 """
@@ -384,10 +387,14 @@ def _flash_fwd_impl(q, k, v, lut, *, scale, block_q, block_k, int8_qk,
     nQ = _cdiv(L, block_q)
     nK = _cdiv(Lk, block_k)
     Lp, Lkp = nQ * block_q, nK * block_k
+    # The sparse kernels' manual DMA slices must be 128-lane aligned; pad the
+    # head dim with zeros (no-op at D=128; LTX audio heads are D=64). Zero
+    # features don't change q·k or the value rows picked up by softmax.
+    Dp = _cdiv(D, 128) * 128 if lut is not None else D
 
     def fold(x, lp):
         x = jnp.swapaxes(x, 1, 2).reshape(B * H, x.shape[1], D)
-        return jnp.pad(x, ((0, 0), (0, lp - x.shape[1]), (0, 0)))
+        return jnp.pad(x, ((0, 0), (0, lp - x.shape[1]), (0, Dp - D)))
 
     qf, kf, vf = fold(q, Lp), fold(k, Lkp), fold(v, Lkp)
     out_shape = jax.ShapeDtypeStruct((B * H, Lp, D), q.dtype)
@@ -442,15 +449,16 @@ def _flash_fwd_impl(q, k, v, lut, *, scale, block_q, block_k, int8_qk,
         lut_flat = jnp.pad(
             lut_flat, ((0, 0), (0, 0), (0, sel_pad - n_groups * GROUP)))
 
+        out_shape = jax.ShapeDtypeStruct((B * H, Lp, Dp), q.dtype)
         common_scratch = [
             pltpu.SemaphoreType.DMA((2, NBUF)),
             pltpu.SMEM((2, sel_pad), jnp.int32),       # LUT row ring
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((block_q, D), jnp.float32),     # acc
+            pltpu.VMEM((block_q, Dp), jnp.float32),    # acc
         ]
         cp = pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"))
-        q_spec2 = pl.BlockSpec((1, block_q, D), lambda bh, i: (bh, i, 0))
+        q_spec2 = pl.BlockSpec((1, block_q, Dp), lambda bh, i: (bh, i, 0))
         any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
 
         if int8_qk:
@@ -484,7 +492,7 @@ def _flash_fwd_impl(q, k, v, lut, *, scale, block_q, block_k, int8_qk,
                 out_specs=q_spec2,
                 out_shape=out_shape,
                 scratch_shapes=[
-                    pltpu.VMEM((NBUF, GROUP * block_k, 2 * D), jnp.int8),
+                    pltpu.VMEM((NBUF, GROUP * block_k, 2 * Dp), jnp.int8),
                 ] + common_scratch,
                 compiler_params=cp,
                 interpret=interpret,
@@ -504,19 +512,407 @@ def _flash_fwd_impl(q, k, v, lut, *, scale, block_q, block_k, int8_qk,
                 out_specs=q_spec2,
                 out_shape=out_shape,
                 scratch_shapes=[
-                    pltpu.VMEM((NBUF, GROUP * block_k, D), k.dtype),
-                    pltpu.VMEM((NBUF, GROUP * block_k, D), v.dtype),
+                    pltpu.VMEM((NBUF, GROUP * block_k, Dp), k.dtype),
+                    pltpu.VMEM((NBUF, GROUP * block_k, Dp), v.dtype),
                 ] + common_scratch,
                 compiler_params=cp,
                 interpret=interpret,
             )(lut_flat, qf, kf, vf)
 
-    out = out[:, :L].reshape(B, H, L, D)
+    out = out[:, :L, :D].reshape(B, H, L, D)
     return jnp.swapaxes(out, 1, 2)
 
 
 # ---------------------------------------------------------------------------
-# Backward (recompute-based reference; fused Pallas bwd is future work)
+# Fused Pallas backward (sparse)
+# ---------------------------------------------------------------------------
+
+def _pick_group(sel: int, lo: int = 4, hi: int = 8) -> int:
+    """Gather GROUP blocks per MXU pass. Padded entries re-fetch real blocks
+    (masked but not free), so pick the GROUP in [lo, hi] that minimizes
+    ceil(sel/G)*G - sel, preferring larger tiles on ties."""
+    group = min(hi, sel)
+    best_waste = _cdiv(sel, group) * group - sel
+    for g in range(hi, lo - 1, -1):
+        if g > sel:
+            continue
+        waste = _cdiv(sel, g) * g - sel
+        if waste < best_waste:
+            group, best_waste = g, waste
+    return group
+
+
+def _sparse_bwd_dq_kernel(lut_hbm, q_ref, do_ref, k_hbm, v_hbm,
+                          dq_ref, ld_ref,
+                          kbuf, vbuf, sems, lut2_ref, lut_sem,
+                          acc1_scr, acc2_scr,
+                          *, scale: float, block_k: int, kv_len: int,
+                          sel: int):
+    """dq pass of the block-sparse backward. Grid: (BH, nQ).
+
+    Walks exactly the forward's gather (same LUT rows, same K/V tiles) and
+    maintains three online-softmax accumulators:
+        acc1 = sum_j exp(s - m) * dp @ k_j        (bq, D)
+        acc2 = sum_j exp(s - m) @ k_j             (bq, D)
+        acc3 = rowsum(exp(s - m) * dp)            (bq, 1)
+    With delta = acc3 / l (the per-row sum P*dp), the chain rule
+    dq = scale * sum_j P * (dp - delta) @ k_j factors into
+    dq = scale * (acc1 - delta * acc2) / l — so delta never needs the saved
+    forward output. Emits (lse, delta) per row for the dk/dv pass.
+    """
+    NBUF, tile_k, _ = kbuf.shape
+    group = tile_k // block_k
+    n_groups = _cdiv(sel, group)
+    bh, i = pl.program_id(0), pl.program_id(1)
+
+    nQ = pl.num_programs(1)
+    step = bh * nQ + i
+    slot_now = jax.lax.rem(step, 2)
+
+    @pl.when(step == 0)
+    def _first_lut():
+        pltpu.make_async_copy(lut_hbm.at[0, 0], lut2_ref.at[0],
+                              lut_sem.at[0]).start()
+
+    @pl.when(step + 1 < pl.num_programs(0) * nQ)
+    def _next_lut():
+        nxt = step + 1
+        pltpu.make_async_copy(lut_hbm.at[nxt // nQ, jax.lax.rem(nxt, nQ)],
+                              lut2_ref.at[1 - slot_now],
+                              lut_sem.at[1 - slot_now]).start()
+
+    pltpu.make_async_copy(lut_hbm.at[bh, i], lut2_ref.at[slot_now],
+                          lut_sem.at[slot_now]).wait()
+    lut_ref = lut2_ref.at[slot_now]
+
+    def kv_dmas(slot, g):
+        ds = []
+        for t in range(group):
+            kb = lut_ref[g * group + t]
+            start = pl.multiple_of(kb * block_k, block_k)
+            ds.append(pltpu.make_async_copy(
+                k_hbm.at[bh, pl.ds(start, block_k)],
+                kbuf.at[slot, pl.ds(t * block_k, block_k)],
+                sems.at[0, slot]))
+            ds.append(pltpu.make_async_copy(
+                v_hbm.at[bh, pl.ds(start, block_k)],
+                vbuf.at[slot, pl.ds(t * block_k, block_k)],
+                sems.at[1, slot]))
+        return ds
+
+    for gg in range(NBUF - 1):
+        @pl.when(gg < n_groups)
+        def _start(gg=gg):
+            for d in kv_dmas(gg, gg):
+                d.start()
+
+    bq = q_ref.shape[1]
+    m = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    l = jnp.zeros((bq, 1), jnp.float32)
+    a3 = jnp.zeros((bq, 1), jnp.float32)
+    acc1_scr[...] = jnp.zeros_like(acc1_scr)
+    acc2_scr[...] = jnp.zeros_like(acc2_scr)
+    q = q_ref[0]
+    do = do_ref[0]
+
+    def body(g, carry):
+        m, l, a3 = carry
+        slot = jax.lax.rem(g, NBUF)
+
+        @pl.when(g + NBUF - 1 < n_groups)
+        def _prefetch():
+            for d in kv_dmas(jax.lax.rem(g + NBUF - 1, NBUF), g + NBUF - 1):
+                d.start()
+
+        for d in kv_dmas(slot, g):
+            d.wait()
+        k = kbuf[slot]                                   # (tile_k, D)
+        v = vbuf[slot]
+
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        within = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        col_parts = [lut_ref[g * group + t] * block_k for t in range(group)]
+        kb_row = jnp.concatenate(
+            [jnp.full((1, block_k), cp, jnp.int32) for cp in col_parts],
+            axis=1)
+        col = kb_row + (within % block_k)
+        entry = g * group + within // block_k
+        s = jnp.where((col < kv_len) & (entry < sel), s, NEG_INF)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)                            # (bq, tile_k)
+        l_new = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
+
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        pdp = p * dp
+        a3_new = alpha * a3 + jnp.sum(pdp, axis=-1, keepdims=True)
+        acc1_scr[...] = acc1_scr[...] * alpha + jax.lax.dot(
+            pdp.astype(k.dtype), k, preferred_element_type=jnp.float32)
+        acc2_scr[...] = acc2_scr[...] * alpha + jax.lax.dot(
+            p.astype(k.dtype), k, preferred_element_type=jnp.float32)
+        return m_new, l_new, a3_new
+
+    m, l, a3 = jax.lax.fori_loop(0, n_groups, body, (m, l, a3))
+    l = jnp.maximum(l, 1e-20)
+    delta = a3 / l
+    dq_ref[0] = (scale * (acc1_scr[...] - delta * acc2_scr[...]) / l
+                 ).astype(dq_ref.dtype)
+    ld_ref[0] = jnp.concatenate([m + jnp.log(l), delta], axis=-1)
+
+
+def _sparse_bwd_dkv_kernel(inv_hbm, k_ref, v_ref, q_hbm, do_hbm, ld_ref,
+                           dk_ref, dv_ref,
+                           qbuf, dobuf, sems, row2_ref, row_sem,
+                           dk_scr, dv_scr,
+                           *, scale: float, block_q: int, q_len: int,
+                           group: int):
+    """dk/dv pass of the block-sparse backward. Grid: (BH, nK).
+
+    Role-swapped mirror of the dq pass: each K block gathers the Q blocks
+    that selected it (inverse LUT; row layout [count, q_ids..., pad]) along
+    with their do rows and the (lse, delta) emitted by the dq pass, then
+    accumulates
+        dk_j = sum_i (P * (dp - delta))^T @ q_i * scale
+        dv_j = sum_i P^T @ do_i
+    as plain blocked writes — the inverse LUT removes the scatter-add the
+    reference's Triton backward needs (SLA/kernel.py:142-176). P is exact
+    (not online): exp(s - lse) with the saved row-wise lse.
+    """
+    NBUF, tile_q, _ = qbuf.shape
+    bh, j = pl.program_id(0), pl.program_id(1)
+
+    nK = pl.num_programs(1)
+    step = bh * nK + j
+    slot_now = jax.lax.rem(step, 2)
+
+    @pl.when(step == 0)
+    def _first_row():
+        pltpu.make_async_copy(inv_hbm.at[0, 0], row2_ref.at[0],
+                              row_sem.at[0]).start()
+
+    @pl.when(step + 1 < pl.num_programs(0) * nK)
+    def _next_row():
+        nxt = step + 1
+        pltpu.make_async_copy(inv_hbm.at[nxt // nK, jax.lax.rem(nxt, nK)],
+                              row2_ref.at[1 - slot_now],
+                              row_sem.at[1 - slot_now]).start()
+
+    pltpu.make_async_copy(inv_hbm.at[bh, j], row2_ref.at[slot_now],
+                          row_sem.at[slot_now]).wait()
+    row_ref = row2_ref.at[slot_now]
+
+    count = row_ref[0]
+    n_groups = jax.lax.div(count + (group - 1), group)
+
+    def q_dmas(slot, g):
+        ds = []
+        for t in range(group):
+            qb = row_ref[1 + g * group + t]
+            start = pl.multiple_of(qb * block_q, block_q)
+            ds.append(pltpu.make_async_copy(
+                q_hbm.at[bh, pl.ds(start, block_q)],
+                qbuf.at[slot, pl.ds(t * block_q, block_q)],
+                sems.at[0, slot]))
+            ds.append(pltpu.make_async_copy(
+                do_hbm.at[bh, pl.ds(start, block_q)],
+                dobuf.at[slot, pl.ds(t * block_q, block_q)],
+                sems.at[1, slot]))
+        return ds
+
+    for gg in range(NBUF - 1):
+        @pl.when(gg < n_groups)
+        def _start(gg=gg):
+            for d in q_dmas(gg, gg):
+                d.start()
+
+    dk_scr[...] = jnp.zeros_like(dk_scr)
+    dv_scr[...] = jnp.zeros_like(dv_scr)
+    k = k_ref[0]                                          # (bk, D)
+    v = v_ref[0]
+
+    def body(g, carry):
+        slot = jax.lax.rem(g, NBUF)
+
+        @pl.when(g + NBUF - 1 < n_groups)
+        def _prefetch():
+            for d in q_dmas(jax.lax.rem(g + NBUF - 1, NBUF), g + NBUF - 1):
+                d.start()
+
+        for d in q_dmas(slot, g):
+            d.wait()
+        qt = qbuf[slot]                                   # (tile_q, D)
+        dot = dobuf[slot]
+
+        sT = jax.lax.dot_general(k, qt, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+
+        lse_parts, dl_parts, col_parts = [], [], []
+        for t in range(group):
+            qb = row_ref[1 + g * group + t]
+            start = pl.multiple_of(qb * block_q, block_q)
+            lse_parts.append(ld_ref[0, 0:1, pl.ds(start, block_q)])
+            dl_parts.append(ld_ref[0, 1:2, pl.ds(start, block_q)])
+            col_parts.append(jnp.full((1, block_q), qb * block_q, jnp.int32))
+        lse_row = jnp.concatenate(lse_parts, axis=1)      # (1, tile_q)
+        delta_row = jnp.concatenate(dl_parts, axis=1)
+        qb_row = jnp.concatenate(col_parts, axis=1)
+
+        within = jax.lax.broadcasted_iota(jnp.int32, sT.shape, 1)
+        col = qb_row + (within % block_q)
+        entry = g * group + within // block_q
+        valid = (col < q_len) & (entry < count)
+        pT = jnp.where(valid, jnp.exp(sT - lse_row), 0.0)  # (bk, tile_q)
+
+        dpT = jax.lax.dot_general(v, dot, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dsT = pT * (dpT - delta_row) * scale
+        dk_scr[...] += jax.lax.dot(dsT.astype(qt.dtype), qt,
+                                   preferred_element_type=jnp.float32)
+        dv_scr[...] += jax.lax.dot(pT.astype(dot.dtype), dot,
+                                   preferred_element_type=jnp.float32)
+        return carry
+
+    jax.lax.fori_loop(0, n_groups, body, 0)
+    dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
+    dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _inverse_lut(lut_f, nK: int):
+    """Invert a (BH, nQ, sel) block LUT: for each K block, the list of Q
+    blocks that selected it. Returns (BH, nK, 1 + nQ) int32 rows shaped
+    [count, q_ids..., 0-pad] (width nQ = worst case: every Q block selects
+    this K block; LUT entries are unique per row, so counts <= nQ)."""
+    BH, nQ, sel = lut_f.shape
+    N = nQ * sel
+    fk = lut_f.reshape(BH, N).astype(jnp.int32)
+    qid = jnp.broadcast_to((jnp.arange(N, dtype=jnp.int32) // sel)[None],
+                           (BH, N))
+    order = jnp.argsort(fk, axis=1, stable=True)
+    sk = jnp.take_along_axis(fk, order, 1)
+    sq = jnp.take_along_axis(qid, order, 1)
+    seg_start = jax.vmap(
+        lambda a: jnp.searchsorted(a, a, side="left"))(sk)
+    pos = jnp.arange(N, dtype=jnp.int32)[None] - seg_start
+    b_idx = jnp.arange(BH)[:, None]
+    counts = jnp.zeros((BH, nK), jnp.int32).at[b_idx, fk].add(1)
+    inv = jnp.zeros((BH, nK, nQ), jnp.int32).at[b_idx, sk, pos].set(
+        sq, mode="drop")
+    return jnp.concatenate([counts[:, :, None], inv], axis=-1)
+
+
+def _flash_bwd_fused(q, k, v, lut, g, *, scale, block_q, block_k, interpret):
+    """Fused Pallas backward for the block-sparse path: dq kernel (forward-
+    shaped gather, emits lse/delta), then dk/dv kernel (inverse-LUT gather,
+    blocked writes)."""
+    B, L, H, D = q.shape
+    Lk = k.shape[1]
+    nQ = _cdiv(L, block_q)
+    nK = _cdiv(Lk, block_k)
+    Lp, Lkp = nQ * block_q, nK * block_k
+    sel = lut.shape[-1]
+    Dp = _cdiv(D, 128) * 128      # manual DMA slices need 128-lane alignment
+
+    def fold(x, lp):
+        x = jnp.swapaxes(x, 1, 2).reshape(B * H, x.shape[1], D)
+        return jnp.pad(x, ((0, 0), (0, lp - x.shape[1]), (0, Dp - D)))
+
+    qf, kf, vf, gf = fold(q, Lp), fold(k, Lkp), fold(v, Lkp), fold(g, Lp)
+    BH = B * H
+    NBUF = 4
+
+    # --- dq pass (same LUT padding as the forward) ---
+    GROUP = _pick_group(sel)
+    n_groups = _cdiv(sel, GROUP)
+    lut_f = lut.reshape(BH, nQ, sel).astype(jnp.int32)
+    entry_pad = n_groups * GROUP - sel
+    lut_pad = lut_f
+    if entry_pad:
+        lut_pad = jnp.pad(lut_pad, ((0, 0), (0, 0), (0, entry_pad)),
+                          constant_values=max(nK - 1, 0))
+    sel_pad = _cdiv(n_groups * GROUP, 128) * 128
+    lut_pad = jnp.pad(
+        lut_pad, ((0, 0), (0, 0), (0, sel_pad - n_groups * GROUP)))
+
+    q_spec = pl.BlockSpec((1, block_q, Dp), lambda bh, i: (bh, i, 0))
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    cp = pltpu.CompilerParams(dimension_semantics=("parallel", "arbitrary"))
+
+    def dq_kernel(lut_hbm, q_ref, do_ref, k_hbm, v_hbm, dq_ref, ld_ref,
+                  kbuf, vbuf, sems, lut2_ref, lut_sem, a1, a2):
+        _sparse_bwd_dq_kernel(lut_hbm, q_ref, do_ref, k_hbm, v_hbm,
+                              dq_ref, ld_ref, kbuf, vbuf, sems, lut2_ref,
+                              lut_sem, a1, a2, scale=scale, block_k=block_k,
+                              kv_len=Lk, sel=sel)
+
+    dq, ld = pl.pallas_call(
+        dq_kernel,
+        grid=(BH, nQ),
+        in_specs=[any_spec, q_spec, q_spec, any_spec, any_spec],
+        out_specs=[q_spec,
+                   pl.BlockSpec((1, block_q, 2), lambda bh, i: (bh, i, 0))],
+        out_shape=[jax.ShapeDtypeStruct((BH, Lp, Dp), q.dtype),
+                   jax.ShapeDtypeStruct((BH, Lp, 2), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((NBUF, GROUP * block_k, Dp), k.dtype),
+            pltpu.VMEM((NBUF, GROUP * block_k, Dp), v.dtype),
+            pltpu.SemaphoreType.DMA((2, NBUF)),
+            pltpu.SMEM((2, sel_pad), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((block_q, Dp), jnp.float32),
+            pltpu.VMEM((block_q, Dp), jnp.float32),
+        ],
+        compiler_params=cp,
+        interpret=interpret,
+    )(lut_pad, qf, gf, kf, vf)
+
+    # --- dk/dv pass ---
+    GROUPQ = _pick_group(max(sel * nQ // max(nK, 1), 1))  # ~avg row count
+    inv = _inverse_lut(lut_f, nK)                          # (BH, nK, 1+nQ)
+    Wp = _cdiv(inv.shape[-1], 128) * 128
+    inv = jnp.pad(inv, ((0, 0), (0, 0), (0, Wp - inv.shape[-1])))
+    ld_t = jnp.swapaxes(ld, 1, 2)                          # (BH, 2, Lp)
+
+    k_spec = pl.BlockSpec((1, block_k, Dp), lambda bh, j: (bh, j, 0))
+
+    def dkv_kernel(inv_hbm, k_ref, v_ref, q_hbm, do_hbm, ld_ref,
+                   dk_ref, dv_ref, qbuf, dobuf, sems, row2_ref, row_sem,
+                   dk_scr, dv_scr):
+        _sparse_bwd_dkv_kernel(inv_hbm, k_ref, v_ref, q_hbm, do_hbm, ld_ref,
+                               dk_ref, dv_ref, qbuf, dobuf, sems, row2_ref,
+                               row_sem, dk_scr, dv_scr, scale=scale,
+                               block_q=block_q, q_len=L, group=GROUPQ)
+
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        grid=(BH, nK),
+        in_specs=[any_spec, k_spec, k_spec, any_spec, any_spec,
+                  pl.BlockSpec((1, 2, Lp), lambda bh, j: (bh, 0, 0))],
+        out_specs=[k_spec, k_spec],
+        out_shape=[jax.ShapeDtypeStruct((BH, Lkp, Dp), k.dtype),
+                   jax.ShapeDtypeStruct((BH, Lkp, Dp), v.dtype)],
+        scratch_shapes=[
+            pltpu.VMEM((NBUF, GROUPQ * block_q, Dp), q.dtype),
+            pltpu.VMEM((NBUF, GROUPQ * block_q, Dp), g.dtype),
+            pltpu.SemaphoreType.DMA((2, NBUF)),
+            pltpu.SMEM((2, Wp), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((block_k, Dp), jnp.float32),
+            pltpu.VMEM((block_k, Dp), jnp.float32),
+        ],
+        compiler_params=cp,
+        interpret=interpret,
+    )(inv, kf, vf, qf, gf, ld_t)
+
+    unfold = lambda x, ln: jnp.swapaxes(
+        x[:, :, :D].reshape(B, H, -1, D)[:, :, :ln], 1, 2)
+    return unfold(dq, L), unfold(dk, Lk), unfold(dv, Lk)
+
+
+# ---------------------------------------------------------------------------
+# Backward (gather/scatter jnp fallback + dense recompute reference)
 # ---------------------------------------------------------------------------
 
 def _attention_bwd_sparse(q, k, v, lut, g, scale, block_q, block_k):
@@ -624,6 +1020,17 @@ def _attention_bwd_ref(q, k, v, lut, g, scale, block_q, block_k):
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 
+def _fused_bwd_enabled(interpret: bool) -> bool:
+    """Fused Pallas backward runs on TPU (and under interpret mode, so the
+    CPU test suite exercises it). TDX_FUSED_BWD=0 falls back to the jnp
+    gather/scatter backward."""
+    import os
+    flag = os.environ.get("TDX_FUSED_BWD", "1")
+    if flag == "0":
+        return False
+    return interpret or jax.default_backend() == "tpu"
+
+
 @functools.lru_cache(maxsize=None)
 def _make_flash_fn(scale, block_q, block_k, int8_qk, interpret):
     @jax.custom_vjp
@@ -638,8 +1045,14 @@ def _make_flash_fn(scale, block_q, block_k, int8_qk, interpret):
     def bwd(res, g):
         q, k, v, lut = res
         if lut is not None:
-            dq, dk, dv = _attention_bwd_sparse(q, k, v, lut, g, scale,
-                                               block_q, block_k)
+            if _fused_bwd_enabled(interpret):
+                dq, dk, dv = _flash_bwd_fused(q, k, v, lut, g, scale=scale,
+                                              block_q=block_q,
+                                              block_k=block_k,
+                                              interpret=interpret)
+            else:
+                dq, dk, dv = _attention_bwd_sparse(q, k, v, lut, g, scale,
+                                                   block_q, block_k)
         else:
             dq, dk, dv = _attention_bwd_ref(q, k, v, lut, g, scale,
                                             block_q, block_k)

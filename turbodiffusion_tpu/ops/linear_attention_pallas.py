@@ -72,10 +72,52 @@ def _apply_kernel(q_ref, kvw_ref, ksum_ref, bias_ref, o_ref):
     o_ref[0] = (num / den + bias_ref[0]).astype(o_ref.dtype)
 
 
+def _linear_projected_ref(q, k, v, w, b):
+    """Differentiable jnp reference of the fused kernels (same math); used
+    only as the backward-pass recompute of the custom VJP below."""
+    def phi(x):
+        return jax.nn.softmax(x.astype(jnp.float32), axis=-1)
+
+    pq, pk = phi(q), phi(k)
+    vf = v.astype(jnp.float32)
+    kv = jnp.einsum("blhd,blhe->bhde", pk, vf)
+    ksum = jnp.sum(pk, axis=1)                            # (B, H, D)
+    num = jnp.einsum("blhd,bhde->blhe", pq, kv)
+    den = 1e-5 + jnp.einsum("blhd,bhd->blh", pq, ksum)[..., None]
+    o = num / den
+    return (o @ w.astype(jnp.float32) + b.astype(jnp.float32)).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _linear_projected(q, k, v, w, b, block, interpret):
+    return _linear_projected_impl(q, k, v, w, b, block, interpret)
+
+
+def _linear_projected_fwd(q, k, v, w, b, block, interpret):
+    return _linear_projected_impl(q, k, v, w, b, block, interpret), \
+        (q, k, v, w, b)
+
+
+def _linear_projected_bwd(block, interpret, res, g):
+    _, vjp = jax.vjp(_linear_projected_ref, *res)
+    return vjp(g)
+
+
+_linear_projected.defvjp(_linear_projected_fwd, _linear_projected_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("block", "interpret"))
 def linear_attention_projected(q, k, v, w, b, block: int = 512,
                                interpret: bool = False):
-    """(B, L, H, D) -> proj_l(linear_attention(q, k, v)). w: (D, D), b: (D,)."""
+    """(B, L, H, D) -> proj_l(linear_attention(q, k, v)). w: (D, D), b: (D,).
+
+    Differentiable: a custom VJP recomputes the branch in jnp on the backward
+    pass (the fused Pallas forward has no JVP rule), so SLA training — whose
+    main trainable is proj_l — works through the fast path on TPU."""
+    return _linear_projected(q, k, v, w, b, block, interpret)
+
+
+def _linear_projected_impl(q, k, v, w, b, block: int, interpret: bool):
     B, L, H, D = q.shape
     Lk = k.shape[1]
     nQ, nK = _cdiv(L, block), _cdiv(Lk, block)
