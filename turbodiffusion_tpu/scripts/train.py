@@ -90,10 +90,18 @@ def main():
     tcfg = apply_dotted_overrides(tcfg, [o for o in overrides
                                          if o.startswith("trainer.")])
 
+    # `model.key=value` overrides customize architecture dims (e.g. a
+    # mid-size config that fits one chip: model.dim=768 model.num_heads=6
+    # model.num_layers=2); applied to student and teacher alike.
+    model_ovr = [o[len("model."):] for o in overrides
+                 if o.startswith("model.")]
+
     if args.experiment == "sla":
         cfg = make_wan_cfg(args.model, attention_type="sla",
                            sla_topk=args.sla_topk)
         cfg_teacher = make_wan_cfg(args.model, attention_type="original")
+        cfg = apply_dotted_overrides(cfg, model_ovr)
+        cfg_teacher = apply_dotted_overrides(cfg_teacher, model_ovr)
         # student initializes FROM the teacher weights; the teacher stays
         # frozen with dense attention (t2v_model_sla.py). Keep the linear
         # branch even with zero-init proj_l — it must receive gradients.
@@ -105,6 +113,7 @@ def main():
         step = make_sla_train_step(cfg, cfg_teacher, teacher, optimizer)
     else:
         cfg = make_wan_cfg(args.model, attention_type="original")
+        cfg = apply_dotted_overrides(cfg, model_ovr)
         dcfg = D.DistillConfig()
         dcfg = apply_dotted_overrides(
             dcfg, [o[len("distill."):] for o in overrides
