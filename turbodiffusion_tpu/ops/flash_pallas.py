@@ -542,9 +542,9 @@ def _pick_group(sel: int, lo: int = 4, hi: int = 8) -> int:
     return group
 
 
-def _sparse_bwd_dq_kernel(lut_hbm, q_ref, do_ref, k_hbm, v_hbm,
+def _sparse_bwd_dq_kernel(lut_hbm, q_ref, do_ref, kv_hbm,
                           dq_ref, ld_ref,
-                          kbuf, vbuf, sems, lut2_ref, lut_sem,
+                          kvbuf, sems, lut2_ref, lut_sem,
                           acc1_scr, acc2_scr,
                           *, scale: float, block_k: int, kv_len: int,
                           sel: int):
@@ -559,8 +559,13 @@ def _sparse_bwd_dq_kernel(lut_hbm, q_ref, do_ref, k_hbm, v_hbm,
     dq = scale * sum_j P * (dp - delta) @ k_j factors into
     dq = scale * (acc1 - delta * acc2) / l — so delta never needs the saved
     forward output. Emits (lse, delta) per row for the dk/dv pass.
+
+    K and V ride PACKED along features in one (BH, Lkp, 2D) array so each
+    gathered block is ONE DMA descriptor (the gather is descriptor-issue
+    bound, like the int8 forward).
     """
-    NBUF, tile_k, _ = kbuf.shape
+    NBUF, tile_k, two_d = kvbuf.shape
+    D = two_d // 2
     group = tile_k // block_k
     n_groups = _cdiv(sel, group)
     bh, i = pl.program_id(0), pl.program_id(1)
@@ -591,13 +596,9 @@ def _sparse_bwd_dq_kernel(lut_hbm, q_ref, do_ref, k_hbm, v_hbm,
             kb = lut_ref[g * group + t]
             start = pl.multiple_of(kb * block_k, block_k)
             ds.append(pltpu.make_async_copy(
-                k_hbm.at[bh, pl.ds(start, block_k)],
-                kbuf.at[slot, pl.ds(t * block_k, block_k)],
+                kv_hbm.at[bh, pl.ds(start, block_k)],
+                kvbuf.at[slot, pl.ds(t * block_k, block_k)],
                 sems.at[0, slot]))
-            ds.append(pltpu.make_async_copy(
-                v_hbm.at[bh, pl.ds(start, block_k)],
-                vbuf.at[slot, pl.ds(t * block_k, block_k)],
-                sems.at[1, slot]))
         return ds
 
     for gg in range(NBUF - 1):
@@ -626,8 +627,8 @@ def _sparse_bwd_dq_kernel(lut_hbm, q_ref, do_ref, k_hbm, v_hbm,
 
         for d in kv_dmas(slot, g):
             d.wait()
-        k = kbuf[slot]                                   # (tile_k, D)
-        v = vbuf[slot]
+        k = kvbuf[slot, :, :D]                           # (tile_k, D)
+        v = kvbuf[slot, :, D:]
 
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
@@ -663,9 +664,9 @@ def _sparse_bwd_dq_kernel(lut_hbm, q_ref, do_ref, k_hbm, v_hbm,
     ld_ref[0] = jnp.concatenate([m + jnp.log(l), delta], axis=-1)
 
 
-def _sparse_bwd_dkv_kernel(inv_hbm, k_ref, v_ref, q_hbm, do_hbm, ld_ref,
+def _sparse_bwd_dkv_kernel(inv_hbm, k_ref, v_ref, qdo_hbm, ld_ref,
                            dk_ref, dv_ref,
-                           qbuf, dobuf, sems, row2_ref, row_sem,
+                           qdobuf, sems, row2_ref, row_sem,
                            dk_scr, dv_scr,
                            *, scale: float, block_q: int, q_len: int,
                            group: int):
@@ -679,9 +680,11 @@ def _sparse_bwd_dkv_kernel(inv_hbm, k_ref, v_ref, q_hbm, do_hbm, ld_ref,
         dv_j = sum_i P^T @ do_i
     as plain blocked writes — the inverse LUT removes the scatter-add the
     reference's Triton backward needs (SLA/kernel.py:142-176). P is exact
-    (not online): exp(s - lse) with the saved row-wise lse.
+    (not online): exp(s - lse) with the saved row-wise lse. Q and dO ride
+    packed in one (BH, Lp, 2D) array: one DMA descriptor per gathered block.
     """
-    NBUF, tile_q, _ = qbuf.shape
+    NBUF, tile_q, two_d = qdobuf.shape
+    D = two_d // 2
     bh, j = pl.program_id(0), pl.program_id(1)
 
     nK = pl.num_programs(1)
@@ -713,13 +716,9 @@ def _sparse_bwd_dkv_kernel(inv_hbm, k_ref, v_ref, q_hbm, do_hbm, ld_ref,
             qb = row_ref[1 + g * group + t]
             start = pl.multiple_of(qb * block_q, block_q)
             ds.append(pltpu.make_async_copy(
-                q_hbm.at[bh, pl.ds(start, block_q)],
-                qbuf.at[slot, pl.ds(t * block_q, block_q)],
+                qdo_hbm.at[bh, pl.ds(start, block_q)],
+                qdobuf.at[slot, pl.ds(t * block_q, block_q)],
                 sems.at[0, slot]))
-            ds.append(pltpu.make_async_copy(
-                do_hbm.at[bh, pl.ds(start, block_q)],
-                dobuf.at[slot, pl.ds(t * block_q, block_q)],
-                sems.at[1, slot]))
         return ds
 
     for gg in range(NBUF - 1):
@@ -743,8 +742,8 @@ def _sparse_bwd_dkv_kernel(inv_hbm, k_ref, v_ref, q_hbm, do_hbm, ld_ref,
 
         for d in q_dmas(slot, g):
             d.wait()
-        qt = qbuf[slot]                                   # (tile_q, D)
-        dot = dobuf[slot]
+        qt = qdobuf[slot, :, :D]                          # (tile_q, D)
+        dot = qdobuf[slot, :, D:]
 
         sT = jax.lax.dot_general(k, qt, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32) * scale
@@ -840,24 +839,25 @@ def _flash_bwd_fused(q, k, v, lut, g, *, scale, block_q, block_k, interpret):
     any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
     cp = pltpu.CompilerParams(dimension_semantics=("parallel", "arbitrary"))
 
-    def dq_kernel(lut_hbm, q_ref, do_ref, k_hbm, v_hbm, dq_ref, ld_ref,
-                  kbuf, vbuf, sems, lut2_ref, lut_sem, a1, a2):
-        _sparse_bwd_dq_kernel(lut_hbm, q_ref, do_ref, k_hbm, v_hbm,
-                              dq_ref, ld_ref, kbuf, vbuf, sems, lut2_ref,
+    kvf = jnp.concatenate([kf, vf], axis=-1)       # (BH, Lkp, 2Dp)
+
+    def dq_kernel(lut_hbm, q_ref, do_ref, kv_hbm, dq_ref, ld_ref,
+                  kvbuf, sems, lut2_ref, lut_sem, a1, a2):
+        _sparse_bwd_dq_kernel(lut_hbm, q_ref, do_ref, kv_hbm,
+                              dq_ref, ld_ref, kvbuf, sems, lut2_ref,
                               lut_sem, a1, a2, scale=scale, block_k=block_k,
                               kv_len=Lk, sel=sel)
 
     dq, ld = pl.pallas_call(
         dq_kernel,
         grid=(BH, nQ),
-        in_specs=[any_spec, q_spec, q_spec, any_spec, any_spec],
+        in_specs=[any_spec, q_spec, q_spec, any_spec],
         out_specs=[q_spec,
                    pl.BlockSpec((1, block_q, 2), lambda bh, i: (bh, i, 0))],
         out_shape=[jax.ShapeDtypeStruct((BH, Lp, Dp), q.dtype),
                    jax.ShapeDtypeStruct((BH, Lp, 2), jnp.float32)],
         scratch_shapes=[
-            pltpu.VMEM((NBUF, GROUP * block_k, Dp), k.dtype),
-            pltpu.VMEM((NBUF, GROUP * block_k, Dp), v.dtype),
+            pltpu.VMEM((NBUF, GROUP * block_k, 2 * Dp), k.dtype),
             pltpu.SemaphoreType.DMA((2, NBUF)),
             pltpu.SMEM((2, sel_pad), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -866,7 +866,7 @@ def _flash_bwd_fused(q, k, v, lut, g, *, scale, block_q, block_k, interpret):
         ],
         compiler_params=cp,
         interpret=interpret,
-    )(lut_pad, qf, gf, kf, vf)
+    )(lut_pad, qf, gf, kvf)
 
     # --- dk/dv pass ---
     GROUPQ = _pick_group(max(sel * nQ // max(nK, 1), 1))  # ~avg row count
@@ -877,25 +877,26 @@ def _flash_bwd_fused(q, k, v, lut, g, *, scale, block_q, block_k, interpret):
 
     k_spec = pl.BlockSpec((1, block_k, Dp), lambda bh, j: (bh, j, 0))
 
-    def dkv_kernel(inv_hbm, k_ref, v_ref, q_hbm, do_hbm, ld_ref,
-                   dk_ref, dv_ref, qbuf, dobuf, sems, row2_ref, row_sem,
+    qdof = jnp.concatenate([qf, gf], axis=-1)      # (BH, Lp, 2Dp)
+
+    def dkv_kernel(inv_hbm, k_ref, v_ref, qdo_hbm, ld_ref,
+                   dk_ref, dv_ref, qdobuf, sems, row2_ref, row_sem,
                    dk_scr, dv_scr):
-        _sparse_bwd_dkv_kernel(inv_hbm, k_ref, v_ref, q_hbm, do_hbm, ld_ref,
-                               dk_ref, dv_ref, qbuf, dobuf, sems, row2_ref,
+        _sparse_bwd_dkv_kernel(inv_hbm, k_ref, v_ref, qdo_hbm, ld_ref,
+                               dk_ref, dv_ref, qdobuf, sems, row2_ref,
                                row_sem, dk_scr, dv_scr, scale=scale,
                                block_q=block_q, q_len=L, group=GROUPQ)
 
     dk, dv = pl.pallas_call(
         dkv_kernel,
         grid=(BH, nK),
-        in_specs=[any_spec, k_spec, k_spec, any_spec, any_spec,
+        in_specs=[any_spec, k_spec, k_spec, any_spec,
                   pl.BlockSpec((1, 2, Lp), lambda bh, j: (bh, 0, 0))],
         out_specs=[k_spec, k_spec],
         out_shape=[jax.ShapeDtypeStruct((BH, Lkp, Dp), k.dtype),
                    jax.ShapeDtypeStruct((BH, Lkp, Dp), v.dtype)],
         scratch_shapes=[
-            pltpu.VMEM((NBUF, GROUPQ * block_q, Dp), q.dtype),
-            pltpu.VMEM((NBUF, GROUPQ * block_q, Dp), g.dtype),
+            pltpu.VMEM((NBUF, GROUPQ * block_q, 2 * Dp), q.dtype),
             pltpu.SemaphoreType.DMA((2, NBUF)),
             pltpu.SMEM((2, Wp), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -904,7 +905,7 @@ def _flash_bwd_fused(q, k, v, lut, g, *, scale, block_q, block_k, interpret):
         ],
         compiler_params=cp,
         interpret=interpret,
-    )(inv, kf, vf, qf, gf, ld_t)
+    )(inv, kf, vf, qdof, ld_t)
 
     unfold = lambda x, ln: jnp.swapaxes(
         x[:, :, :D].reshape(B, H, -1, D)[:, :, :ln], 1, 2)
