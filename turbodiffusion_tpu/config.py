@@ -107,6 +107,18 @@ class WanConfig:
     # (reference SAC modes, rcm/utils/selective_activation_checkpoint.py:26-59)
     remat: str = "none"
 
+    def __post_init__(self):
+        if self.dim % self.num_heads:
+            raise ValueError(
+                f"dim ({self.dim}) must be divisible by num_heads "
+                f"({self.num_heads})")
+        if (self.dim // self.num_heads) % 2:
+            # 3D RoPE pairs adjacent channels (bands d-2*(d//6*2), d//6*2,
+            # d//6*2; rcm/networks/wan2pt1.py:604-609) — head_dim must be even.
+            raise ValueError(
+                f"head_dim ({self.dim // self.num_heads}) must be even "
+                f"for 3D RoPE")
+
     @property
     def head_dim(self) -> int:
         return self.dim // self.num_heads
