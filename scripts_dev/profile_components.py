@@ -27,21 +27,29 @@ def bench(fn, *args, name="", n=N_ITERS):
     """fn(*args) -> array. args[0] must be float; a tiny c-dependent
     perturbation is added to it each iteration."""
 
-    def body(i, c):
-        perturbed = (args[0] + c * 1e-12,) + args[1:]
-        out = fn(*perturbed)
-        return c + out.reshape(-1)[0].astype(jnp.float32) * 1e-20
+    def run(*a):
+        def body(i, c):
+            eps = (c * 1e-12).astype(a[0].dtype)  # keep a[0]'s dtype
+            perturbed = (a[0] + eps,) + a[1:]
+            out = fn(*perturbed)
+            return c + out.reshape(-1)[0].astype(jnp.float32) * 1e-20
 
-    f = jax.jit(lambda: jax.lax.fori_loop(0, n, body, jnp.float32(0.0)))
-    float(f())  # compile + warmup
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    # args go through jit parameters, not closure capture: the axon remote
+    # compile service ships closure constants in the HTTP payload and 413s
+    # past ~200MB.
+    f = jax.jit(run)
+    float(f(*args))  # compile + warmup
     t0 = time.perf_counter()
-    val = float(f())
+    val = float(f(*args))
     dt = (time.perf_counter() - t0) / n
     print(f"{name:44s} {dt*1000:9.2f} ms")
     return dt
 
 
 def main():
+    print(f"device: {jax.devices()[0].device_kind}")
     ks = jax.random.split(jax.random.PRNGKey(0), 8)
     q = jax.random.normal(ks[0], (B, L, H, D), jnp.bfloat16)
     k = jax.random.normal(ks[1], (B, L, H, D), jnp.bfloat16)

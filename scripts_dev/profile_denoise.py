@@ -1,0 +1,65 @@
+"""Trace the full 4-step denoise (the bench.py path) and print the per-op
+device-time breakdown. Run on TPU:
+    PYTHONPATH=/root/.axon_site:/root/repo python scripts_dev/profile_denoise.py
+"""
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+os.makedirs("/root/.jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def main():
+    from turbodiffusion_tpu.config import (
+        AttentionConfig, GenerationConfig, wan_config)
+    from turbodiffusion_tpu.models.wan import init_wan_params, wan_forward
+    from turbodiffusion_tpu.pipelines.sampler import latent_shape, rcm_sample
+    from turbodiffusion_tpu.utils.profiling import op_time_breakdown, trace
+
+    cfg = wan_config(
+        "Wan2.1-1.3B",
+        attention=AttentionConfig(backend="sagesla", sla_topk=0.1),
+        quant_linear=False,
+    )
+    gen = GenerationConfig()
+
+    params = init_wan_params(jax.random.PRNGKey(0), cfg)
+    C, T, H, W = latent_shape(gen)
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 512, 4096),
+                            jnp.bfloat16)
+
+    @jax.jit
+    def generate(params, noise, key):
+        def denoise(x, t, i):
+            tt = jnp.full((1, 1), t * 1000.0, jnp.float32)
+            return wan_forward(params, cfg, x, tt, ctx)
+        return rcm_sample(denoise, noise, key, num_steps=gen.num_steps,
+                          sigma_max=gen.sigma_max)
+
+    noise = jax.random.normal(jax.random.PRNGKey(2), (1, C, T, H, W),
+                              jnp.float32)
+    generate(params, noise, jax.random.PRNGKey(3)).block_until_ready()
+
+    t0 = time.perf_counter()
+    generate(params, noise, jax.random.PRNGKey(4)).block_until_ready()
+    total = time.perf_counter() - t0
+    print(f"e2e denoise: {total:.3f} s")
+
+    logdir = "/tmp/tdx_trace_denoise"
+    with trace(logdir):
+        generate(params, noise, jax.random.PRNGKey(5)).block_until_ready()
+
+    breakdown = op_time_breakdown(logdir, top_n=40)
+    tot_dev = sum(breakdown.values())
+    print(f"\ntop ops (device ms, sum of top-40 = {tot_dev:.0f} ms):")
+    for name, ms in breakdown.items():
+        print(f"  {ms:9.1f} ms  {name[:110]}")
+
+
+if __name__ == "__main__":
+    main()
