@@ -28,14 +28,19 @@ def main():
     from turbodiffusion_tpu.models.wan import init_wan_params, wan_forward
     from turbodiffusion_tpu.pipelines.sampler import latent_shape, rcm_sample
 
+    quant = os.environ.get("TDX_BENCH_QUANT", "1") == "1"
     cfg = wan_config(
         "Wan2.1-1.3B",
         attention=AttentionConfig(backend="sagesla", sla_topk=0.1),
-        quant_linear=False,
+        quant_linear=quant,
     )
     gen = GenerationConfig()
 
     params = init_wan_params(jax.random.PRNGKey(0), cfg)
+    if quant:
+        from turbodiffusion_tpu.ops.quant import quantize_wan_blocks
+        params["blocks"] = quantize_wan_blocks(params["blocks"],
+                                               mode="postscale")
     C, T, H, W = latent_shape(gen)
     ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 512, 4096),
                             jnp.bfloat16)

@@ -24,11 +24,13 @@ def main():
     cfg = wan_config(
         "Wan2.1-1.3B",
         attention=AttentionConfig(backend="sagesla", sla_topk=0.1),
-        quant_linear=False,
+        quant_linear=True,
     )
     gen = GenerationConfig()
 
     params = init_wan_params(jax.random.PRNGKey(0), cfg)
+    from turbodiffusion_tpu.ops.quant import quantize_wan_blocks
+    params["blocks"] = quantize_wan_blocks(params["blocks"], mode="postscale")
     C, T, H, W = latent_shape(gen)
     ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 512, 4096),
                             jnp.bfloat16)

@@ -1,0 +1,93 @@
+"""Equivalence tests for the fused norm/modulate/RoPE Pallas kernels
+(ops/fused_norm.py) against the exact unfused chains they replace — the
+JVP-test pattern from the reference (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from turbodiffusion_tpu.models import layers as L
+from turbodiffusion_tpu.models.rope import apply_rope, rope_freqs_3d
+from turbodiffusion_tpu.ops.fused_norm import (
+    _mln_pallas, _rmsrope_pallas, modulated_layer_norm_ref, rope_cos_sin_full,
+    rmsnorm_rope_ref)
+
+B, T, H_SP, W_SP = 1, 2, 4, 6
+SEQ = T * H_SP * W_SP * 11  # 528 — exercises a non-multiple-of-block_l tail
+DIM, HEADS, DH = 256, 2, 128
+
+
+@pytest.fixture
+def data():
+    ks = jax.random.split(jax.random.PRNGKey(0), 6)
+    x = jax.random.normal(ks[0], (B, SEQ, DIM), jnp.bfloat16)
+    e = jax.random.normal(ks[1], (B, 6, DIM), jnp.float32)
+    w = 1.0 + 0.1 * jax.random.normal(ks[2], (DIM,), jnp.bfloat16)
+    bias = 0.1 * jax.random.normal(ks[3], (DIM,), jnp.bfloat16)
+    return x, e, w, bias
+
+
+def test_mln_ref_matches_unfused_chain(data):
+    """The _ref function reproduces wan_block's exact cast chain."""
+    x, e, _, _ = data
+    e0, e1 = e[:, 0:1], e[:, 1:2]
+    unfused = (L.layer_norm(x, eps=1e-6).astype(jnp.float32)
+               * (1 + e1) + e0).astype(x.dtype)
+    fused = modulated_layer_norm_ref(x, e1, e0, eps=1e-6)
+    np.testing.assert_array_equal(np.asarray(unfused, jnp.float32),
+                                  np.asarray(fused, jnp.float32))
+
+
+def test_mln_pallas_interpret_matches_ref(data):
+    x, e, w, bias = data
+    e0, e1 = e[:, 0], e[:, 1]
+    ref = modulated_layer_norm_ref(x, e1, e0, eps=1e-6)
+    out = _mln_pallas(x, e1, e0, None, None, 1e-6, interpret=True,
+                      block_l=128)
+    np.testing.assert_allclose(np.asarray(out, jnp.float32),
+                               np.asarray(ref, jnp.float32), atol=2e-2)
+
+
+def test_mln_pallas_affine_no_mod(data):
+    """norm3 mode: affine LayerNorm without modulation."""
+    x, _, w, bias = data
+    ref = L.layer_norm(x, eps=1e-6, scale=w, bias=bias)
+    out = _mln_pallas(x, None, None, w, bias, 1e-6, interpret=True,
+                      block_l=128)
+    np.testing.assert_allclose(np.asarray(out, jnp.float32),
+                               np.asarray(ref, jnp.float32), atol=2e-2)
+
+
+def test_rmsrope_ref_matches_unfused_chain(data):
+    """rmsnorm_rope_ref == rms_norm (full-dim) + apply_rope composition."""
+    x, _, w, _ = data
+    freqs = rope_freqs_3d(T, H_SP, W_SP * 11, DH)
+    unfused = apply_rope(
+        L.rms_norm(x, w, eps=1e-5).reshape(B, SEQ, HEADS, DH), freqs)
+    cosF, sinF = rope_cos_sin_full(freqs)
+    fused = rmsnorm_rope_ref(x, w, cosF, sinF, eps=1e-5)
+    np.testing.assert_allclose(np.asarray(unfused, jnp.float32),
+                               np.asarray(fused, jnp.float32), atol=1e-6)
+
+
+def test_rmsrope_pallas_interpret_matches_ref(data):
+    x, _, w, _ = data
+    freqs = rope_freqs_3d(T, H_SP, W_SP * 11, DH)
+    cosF, sinF = rope_cos_sin_full(freqs)
+    ref = rmsnorm_rope_ref(x, w, cosF, sinF, eps=1e-5)
+    out = _rmsrope_pallas(x, w, cosF, sinF, 1e-5, HEADS, interpret=True,
+                          block_l=128)
+    np.testing.assert_allclose(
+        np.asarray(out.reshape(B, SEQ, HEADS, DH), jnp.float32),
+        np.asarray(ref, jnp.float32), atol=2e-2)
+
+
+def test_rmsrope_pallas_norm_only(data):
+    """Cross-attention Q mode: RMSNorm without rope."""
+    x, _, w, _ = data
+    ref = L.rms_norm(x, w, eps=1e-5)
+    out = _rmsrope_pallas(x, w, None, None, 1e-5, HEADS, interpret=True,
+                          block_l=128)
+    np.testing.assert_allclose(np.asarray(out, jnp.float32),
+                               np.asarray(ref, jnp.float32), atol=2e-2)

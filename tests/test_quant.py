@@ -87,3 +87,45 @@ def test_quantized_wan_forward_close_to_float():
     err = np.abs(np.asarray(out) - np.asarray(ref))
     rel = err.max() / (np.abs(np.asarray(ref)).max() + 1e-8)
     assert rel < 0.15, rel  # accumulated per-layer quant noise stays bounded
+
+
+def test_postscale_pallas_gemm_matches_xla_path():
+    """Pallas fused-epilogue GEMM (interpret) == the XLA int8-dot epilogue
+    composition, including bias and fused gelu."""
+    from turbodiffusion_tpu.ops.quant import (
+        int8_gemm_postscale_pallas, quantize_rows_int8)
+    kx, kw = jax.random.split(jax.random.PRNGKey(5))
+    x = jax.random.normal(kx, (200, 256), jnp.bfloat16)  # non-multiple M tail
+    w = jax.random.normal(kw, (256, 384))
+    b = jax.random.normal(jax.random.PRNGKey(6), (384,))
+    wq, ws = quantize_int8_postscale(w)
+    xq, rs = quantize_rows_int8(x)
+
+    ref = (jax.lax.dot_general(
+        xq, wq, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32).astype(jnp.float32)
+        * rs * ws[None, :] + b[None, :])
+    ref_gelu = jax.nn.gelu(ref, approximate=True)
+
+    out = int8_gemm_postscale_pallas(xq, rs, wq, ws, bias=b, has_bias=True,
+                                     out_dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
+
+    outg = int8_gemm_postscale_pallas(xq, rs, wq, ws, bias=b, has_bias=True,
+                                      act="gelu_tanh", out_dtype=jnp.float32,
+                                      interpret=True)
+    np.testing.assert_allclose(np.asarray(outg), np.asarray(ref_gelu),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_rowquant_pallas_matches_jnp():
+    from turbodiffusion_tpu.ops.quant import (
+        quantize_rows_int8, quantize_rows_int8_pallas)
+    x = jax.random.normal(jax.random.PRNGKey(7), (200, 256), jnp.bfloat16)
+    xq_ref, rs_ref = quantize_rows_int8(x)
+    xq, rs = quantize_rows_int8_pallas(x, interpret=True)
+    np.testing.assert_allclose(np.asarray(rs), np.asarray(rs_ref), rtol=1e-6)
+    # round-to-nearest ties may differ by 1 ulp between lowerings
+    assert np.abs(np.asarray(xq, np.int32) -
+                  np.asarray(xq_ref, np.int32)).max() <= 1

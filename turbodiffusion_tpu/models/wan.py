@@ -29,6 +29,8 @@ from turbodiffusion_tpu.config import WanConfig
 from turbodiffusion_tpu.models import layers as L
 from turbodiffusion_tpu.models.rope import apply_rope, rope_freqs_3d
 from turbodiffusion_tpu.ops.attention import attention, dense_attention
+from turbodiffusion_tpu.ops.fused_norm import (
+    modulated_layer_norm, rmsnorm_rope, rope_cos_sin_full)
 from turbodiffusion_tpu.ops.quant import linear_maybe_quant
 from turbodiffusion_tpu.parallel.sharding import constrain
 
@@ -40,18 +42,20 @@ T5_CONTEXT_TOKEN_NUMBER = 512
 # Sub-forward functions
 # ---------------------------------------------------------------------------
 
-def _self_attention(p, x, freqs, cfg: WanConfig):
-    """WanSelfAttention (wan2pt1.py:215-277): QKV + RMSNorm-QK + RoPE + attn."""
+def _self_attention(p, x, rope_cs, cfg: WanConfig):
+    """WanSelfAttention (wan2pt1.py:215-277): QKV + RMSNorm-QK + RoPE + attn.
+
+    The RMSNorm (full-dim) + rotate-half RoPE on Q/K run as one fused Pallas
+    pass (ops/fused_norm.rmsnorm_rope) — the unfused chain costs 4 extra HBM
+    round-trips per layer at 480p geometry."""
     B, Lx, D = x.shape
     H, Dh = cfg.num_heads, cfg.head_dim
-    q = L.rms_norm(linear_maybe_quant(p["q"], x), p["norm_q"]["scale"], eps=cfg.eps)
-    k = L.rms_norm(linear_maybe_quant(p["k"], x), p["norm_k"]["scale"], eps=cfg.eps)
-    v = linear_maybe_quant(p["v"], x)
-    q = q.reshape(B, Lx, H, Dh)
-    k = k.reshape(B, Lx, H, Dh)
-    v = v.reshape(B, Lx, H, Dh)
-    q = apply_rope(q, freqs)
-    k = apply_rope(k, freqs)
+    cosF, sinF = rope_cs
+    q = rmsnorm_rope(linear_maybe_quant(p["q"], x), p["norm_q"]["scale"],
+                     cosF, sinF, num_heads=H, eps=cfg.eps)
+    k = rmsnorm_rope(linear_maybe_quant(p["k"], x), p["norm_k"]["scale"],
+                     cosF, sinF, num_heads=H, eps=cfg.eps)
+    v = linear_maybe_quant(p["v"], x).reshape(B, Lx, H, Dh)
     # Ulysses CP: explicit shard_map + all_to_all when a context axis is
     # active (≡ rcm/utils/a2a_cp.py:43-200); plain dispatch otherwise.
     from turbodiffusion_tpu.parallel.ulysses import ulysses_attention
@@ -70,10 +74,11 @@ def _cross_attention(p, x, context, cfg: WanConfig, img_context=None):
     matching the reference's flattened-CP observation (SURVEY §5.7)."""
     B, Lx, D = x.shape
     H, Dh = cfg.num_heads, cfg.head_dim
-    q = L.rms_norm(linear_maybe_quant(p["q"], x), p["norm_q"]["scale"], eps=cfg.eps)
+    q = rmsnorm_rope(linear_maybe_quant(p["q"], x), p["norm_q"]["scale"],
+                     num_heads=H, eps=cfg.eps)
+    # K/V over 512 text tokens are tiny; the jnp chain is fine.
     k = L.rms_norm(linear_maybe_quant(p["k"], context), p["norm_k"]["scale"], eps=cfg.eps)
     v = linear_maybe_quant(p["v"], context)
-    q = q.reshape(B, Lx, H, Dh)
     k = k.reshape(B, -1, H, Dh)
     v = v.reshape(B, -1, H, Dh)
     o = dense_attention(q, k, v,
@@ -93,29 +98,29 @@ def _ffn(p, x):
     return linear_maybe_quant(p["fc2"], L.gelu_tanh(linear_maybe_quant(p["fc1"], x)))
 
 
-def wan_block(p, x, e0_B6D, freqs, context, cfg: WanConfig, img_context=None):
+def wan_block(p, x, e0_B6D, rope_cs, context, cfg: WanConfig,
+              img_context=None):
     """WanAttentionBlock (wan2pt1.py:358-417), exact precision flow:
-    norm1 (fp32->x.dtype) -> re-upcast -> fp32 AdaLN modulate -> cast back."""
+    norm1 (fp32->x.dtype) -> re-upcast -> fp32 AdaLN modulate -> cast back.
+    The LN + AdaLN islands run as single fused Pallas passes on TPU
+    (ops/fused_norm.modulated_layer_norm)."""
     e = p["modulation"].astype(jnp.float32)[None] + e0_B6D  # (B, 6, D) fp32
     e0, e1, e2, e3, e4, e5 = [e[:, i:i + 1] for i in range(6)]  # each (B,1,D)
 
-    n1 = L.layer_norm(x, eps=cfg.eps)  # non-affine, returns x.dtype
     y = _self_attention(p["self_attn"],
-                        (n1.astype(jnp.float32) * (1 + e1) + e0).astype(x.dtype),
-                        freqs, cfg)
+                        modulated_layer_norm(x, e1, e0, eps=cfg.eps),
+                        rope_cs, cfg)
     x = x + y * e2.astype(x.dtype)
 
     if cfg.cross_attn_norm:
-        n3 = L.layer_norm(x, eps=cfg.eps, scale=p["norm3"]["scale"],
-                          bias=p["norm3"]["bias"])
+        n3 = modulated_layer_norm(x, weight=p["norm3"]["scale"],
+                                  bias=p["norm3"]["bias"], eps=cfg.eps)
     else:
         n3 = x
     x = x + _cross_attention(p["cross_attn"], n3, context, cfg,
                              img_context=img_context)
 
-    n2 = L.layer_norm(x, eps=cfg.eps)
-    y = _ffn(p["ffn"],
-             (n2.astype(jnp.float32) * (1 + e4) + e3).astype(x.dtype))
+    y = _ffn(p["ffn"], modulated_layer_norm(x, e4, e3, eps=cfg.eps))
     x = x + y * e5.astype(x.dtype)
     return x
 
@@ -196,9 +201,10 @@ def wan_forward(params, cfg: WanConfig, x_B_C_T_H_W, timesteps_B_T,
                                ).astype(cfg.dtype)
 
     freqs = rope_freqs_3d(T, H, W, cfg.head_dim)  # (L, Dh/2) fp32
+    rope_cs = rope_cos_sin_full(freqs)            # ((L, Dh), (L, Dh)) fp32
 
     def block_fn(carry, blk_params):
-        out = wan_block(blk_params, carry, e0_B6D, freqs, context, cfg,
+        out = wan_block(blk_params, carry, e0_B6D, rope_cs, context, cfg,
                         img_context=img_context)
         return out, None
 

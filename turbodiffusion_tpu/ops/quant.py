@@ -21,6 +21,7 @@ torch's (out, in).
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -82,25 +83,172 @@ def quantize_int8_postscale(w: jnp.ndarray):
 
 
 # ---------------------------------------------------------------------------
-# Postscale GEMM — single XLA int8 dot (MXU-native)
+# Postscale GEMM — Pallas MXU kernel with fused dequant epilogue
 # ---------------------------------------------------------------------------
 
-def int8_linear_postscale(x, w_int8, col_scale, bias=None):
-    """y = (rowquant(x) @ w_int8) * row_scale * col_scale + bias.
-    Activation quant stays in the input dtype (no fp32 materialization)."""
-    shape = x.shape
-    x2 = x.reshape(-1, shape[-1])
+def quantize_rows_int8(x2):
+    """Per-row symmetric activation quant: (M, K) -> (int8 (M, K),
+    row_scale fp32 (M, 1)). The x*inv product stays in the input dtype so no
+    fp32 copy of the activation is materialized."""
     row_amax = jnp.max(jnp.abs(x2), axis=-1, keepdims=True).astype(jnp.float32)
     row_scale = jnp.maximum(row_amax, 1e-8) / INT8_MAX
     inv = (1.0 / row_scale).astype(x2.dtype)
     xq = jnp.clip(jnp.round((x2 * inv).astype(jnp.float32)),
                   -INT8_MAX, INT8_MAX).astype(jnp.int8)
+    return xq, row_scale
+
+
+def _rowquant_kernel(x_ref, xq_ref, rs_ref):
+    x = x_ref[...].astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) * (1.0 / INT8_MAX)
+    xq_ref[...] = jnp.round(x * (1.0 / scale)).astype(jnp.int8)
+    rs_ref[...] = scale
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def quantize_rows_int8_pallas(x2, interpret: bool = False):
+    """Pallas per-row activation quant: (M, K) -> (int8, (M,1) fp32 scales).
+    XLA's reduce+round+int8-pack lowering measures ~10x off bandwidth on
+    v5e; this single pass is bandwidth-bound."""
+    M, K = x2.shape
+    # ~10 bytes/element live (bf16 in + f32 temp + int8 out, double-buffered);
+    # stay under the 16MB scoped-vmem limit
+    BM = max(8, min(512, (1_200_000 // K) // 8 * 8))
+    BM = min(BM, max(8, M))
+    grid = (_cdiv(M, BM),)
+    return pl.pallas_call(
+        _rowquant_kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((BM, K), lambda m: (m, 0))],
+        out_specs=(pl.BlockSpec((BM, K), lambda m: (m, 0)),
+                   pl.BlockSpec((BM, 1), lambda m: (m, 0))),
+        out_shape=(jax.ShapeDtypeStruct((M, K), jnp.int8),
+                   jax.ShapeDtypeStruct((M, 1), jnp.float32)),
+        interpret=interpret,
+    )(x2)
+
+
+def _postscale_gemm_kernel(xq_ref, wq_ref, rs_ref, cs_ref, bias_ref, o_ref,
+                           acc_scr, *, n_k: int, act: Optional[str],
+                           has_bias: bool):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    acc_scr[...] += jax.lax.dot_general(
+        xq_ref[...], wq_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+
+    @pl.when(k == n_k - 1)
+    def _():
+        # dequant epilogue in-register: rank-1 scales, bias, activation, cast
+        # (the reference's per-K-block rescale collapses to one postscale
+        # here because scales are K-constant — tilelang_w8a8.py:78-117)
+        out = acc_scr[...].astype(jnp.float32) * rs_ref[...] * \
+            cs_ref[0][None, :]
+        if has_bias:
+            out = out + bias_ref[0][None, :].astype(jnp.float32)
+        if act == "gelu_tanh":
+            out = jax.nn.gelu(out, approximate=True)
+        o_ref[...] = out.astype(o_ref.dtype)
+
+
+def _pick_bk(K: int, cap: int = 2048) -> int:
+    """Largest multiple of 128 that divides K and is <= cap (avoids K-dim
+    zero-padding, which would corrupt the int32 accumulation)."""
+    if K <= cap:
+        return K
+    best = 128
+    for m in range(1, cap // 128 + 1):
+        bk = m * 128
+        if K % bk == 0:
+            best = bk
+    return best
+
+
+@functools.partial(jax.jit, static_argnames=("act", "has_bias", "out_dtype",
+                                              "interpret"))
+def int8_gemm_postscale_pallas(xq, row_scale, wq, col_scale, bias=None,
+                               act: Optional[str] = None,
+                               has_bias: bool = False,
+                               out_dtype=jnp.bfloat16,
+                               interpret: bool = False):
+    """W8A8 GEMM: out = act((xq @ wq) * row_scale * col_scale + bias).
+
+    xq: (M, K) int8; row_scale: (M, 1) fp32; wq: (K, N) int8;
+    col_scale: (N,) fp32. One MXU s8xs8->s32 pass with everything else fused
+    into the epilogue — the TPU analog of the reference's CuTe GEMM
+    (ops/gemm/kernel.hpp:417-419) / TileLang postscale (tilelang_w8a8.py).
+    """
+    M, K = xq.shape
+    N = wq.shape[1]
+    assert K % 128 == 0, f"K={K} must be a lane multiple"
+    BM = min(1024, max(8, M))
+    BN = min(512, N)
+    BK = _pick_bk(K)
+    grid = (_cdiv(M, BM), _cdiv(N, BN), K // BK)
+
+    in_specs = [
+        pl.BlockSpec((BM, BK), lambda m, n, k: (m, k)),
+        pl.BlockSpec((BK, BN), lambda m, n, k: (k, n)),
+        pl.BlockSpec((BM, 1), lambda m, n, k: (m, 0)),
+        pl.BlockSpec((1, BN), lambda m, n, k: (0, n)),
+    ]
+    if has_bias:
+        in_specs.append(pl.BlockSpec((1, BN), lambda m, n, k: (0, n)))
+
+        def kernel(xq_ref, wq_ref, rs_ref, cs_ref, bias_ref, o_ref, acc_scr):
+            _postscale_gemm_kernel(xq_ref, wq_ref, rs_ref, cs_ref, bias_ref,
+                                   o_ref, acc_scr, n_k=K // BK, act=act,
+                                   has_bias=True)
+    else:
+        def kernel(xq_ref, wq_ref, rs_ref, cs_ref, o_ref, acc_scr):
+            _postscale_gemm_kernel(xq_ref, wq_ref, rs_ref, cs_ref, None,
+                                   o_ref, acc_scr, n_k=K // BK, act=act,
+                                   has_bias=False)
+
+    # args order matches in_specs order (xq, wq, row_scale, col_scale[, bias])
+    args = [xq, wq, row_scale, col_scale.reshape(1, N)] + \
+        ([bias.reshape(1, N).astype(jnp.float32)] if has_bias else [])
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((BM, BN), lambda m, n, k: (m, n)),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((BM, BN), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(*args)
+
+
+def int8_linear_postscale(x, w_int8, col_scale, bias=None,
+                          act: Optional[str] = None):
+    """y = act((rowquant(x) @ w_int8) * row_scale * col_scale + bias).
+    Pallas fused-epilogue GEMM on TPU; XLA dot elsewhere."""
+    shape = x.shape
+    x2 = x.reshape(-1, shape[-1])
+    N = w_int8.shape[1]
+    if jax.default_backend() == "tpu" and x2.shape[-1] % 128 == 0:
+        xq, row_scale = quantize_rows_int8_pallas(x2)
+        y = int8_gemm_postscale_pallas(
+            xq, row_scale, w_int8, col_scale,
+            bias=bias, act=act, has_bias=bias is not None, out_dtype=x.dtype)
+        return y.reshape(*shape[:-1], N)
+    xq, row_scale = quantize_rows_int8(x2)
     acc = jax.lax.dot_general(xq, w_int8, (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)
     y = acc.astype(jnp.float32) * row_scale * col_scale[None, :]
     if bias is not None:
         y = y + bias.astype(jnp.float32)
-    return y.reshape(*shape[:-1], w_int8.shape[1]).astype(x.dtype)
+    if act == "gelu_tanh":
+        y = jax.nn.gelu(y, approximate=True)
+    return y.reshape(*shape[:-1], N).astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------
