@@ -23,7 +23,7 @@ def main():
 
     cfg = wan_config(
         "Wan2.1-1.3B",
-        attention=AttentionConfig(backend="sagesla", sla_topk=0.1),
+        attention=AttentionConfig(backend="sagesla", sla_topk=0.1, block_q=256, block_k=256),
         quant_linear=True,
     )
     gen = GenerationConfig()

@@ -244,21 +244,28 @@ def _sparse_attn_kernel(lut_hbm, q_ref, k_hbm, v_hbm, o_ref,
     o_ref[0] = (acc_scr[...] / jnp.maximum(l, 1e-20)).astype(o_ref.dtype)
 
 
-def _sparse_attn_kernel_i8(lut_hbm, q_ref, qs_ref, kv_hbm, kvs_ref,
-                           o_ref, kvbuf, sems, lut2_ref, lut_sem, acc_scr,
-                           *, scale: float, block_k: int, kv_len: int,
-                           sel: int):
-    """SageSLA-style INT8 block-sparse attention.
+def _sparse_attn_kernel_i8(lut_hbm, q_ref, qs_ref, kv_hbm, scb_hbm,
+                           o_ref, kvbuf, scbuf, sems, lut2_ref, lut_sem,
+                           acc_scr, *, block_k: int, sel: int):
+    """SageSLA-style INT8 block-sparse attention — VPU-minimal edition.
 
     Q/K/V are pre-quantized per row OUTSIDE the kernel (the reference
-    quantizes K once per call too, SLA/core.py:211-229), so the gather moves
-    half the bytes and the kernel does no quantization work. K and V are
-    PACKED along the feature dim into one (BH, L, 2D) int8 array so each
-    selected block is ONE DMA descriptor — the gather is descriptor-issue
-    bound on the scalar core, not bandwidth bound. Row scales ride in VMEM
-    as (1, L) rows.
+    quantizes K once per call too, SLA/core.py:211-229). K and V are PACKED
+    along the feature dim into one (BH, L, 2D) int8 array so each selected
+    block is one DMA descriptor. All per-row metadata — K scale, additive
+    mask bias, V scale — lives in a (BH, nK+1, 8, block_k) array whose block
+    rows are DMA-gathered alongside K/V into a lane-contiguous buffer, so the
+    inner loop does NO lane-dynamic slicing and NO iota/compare masking:
+
+      s = (s32 * qscale) * kscale + bias;  p = exp(s - m);  pv = p * vscale
+
+    Sequence-tail rows and LUT padding are handled by a POISON BLOCK
+    (index nK) whose kscale/vscale are 0 and bias is -1e30 — padded LUT
+    entries point at it and their columns softmax to exactly zero. The
+    softmax scale is pre-folded into the Q scales.
     """
-    NBUF, tile_k, _ = kvbuf.shape
+    NBUF, tile_k, twoD = kvbuf.shape
+    D = twoD // 2
     group = tile_k // block_k
     n_groups = _cdiv(sel, group)
     bh, i = pl.program_id(0), pl.program_id(1)
@@ -296,6 +303,11 @@ def _sparse_attn_kernel_i8(lut_hbm, q_ref, qs_ref, kv_hbm, kvs_ref,
                 kv_hbm.at[bh, pl.ds(start, block_k)],
                 kvbuf.at[slot, pl.ds(t * block_k, block_k)],
                 sems.at[0, slot]))
+            # block kb's (8, block_k) scale/bias rows -> lane slot t
+            ds.append(pltpu.make_async_copy(
+                scb_hbm.at[bh, kb],
+                scbuf.at[slot, :, pl.ds(t * block_k, block_k)],
+                sems.at[1, slot]))
         return ds
 
     for gg in range(NBUF - 1):
@@ -308,8 +320,7 @@ def _sparse_attn_kernel_i8(lut_hbm, q_ref, qs_ref, kv_hbm, kvs_ref,
     l = jnp.zeros((q_ref.shape[1], 1), jnp.float32)
     acc_scr[...] = jnp.zeros_like(acc_scr)
     qq = q_ref[0]                     # (BQ, D) int8
-    qsc = qs_ref[0]                   # (BQ, 1) fp32 row scales
-    D = qq.shape[-1]
+    qsc = qs_ref[0]                   # (BQ, 1) fp32 row scales (x softmax)
 
     def body(g, carry):
         m, l = carry
@@ -324,28 +335,13 @@ def _sparse_attn_kernel_i8(lut_hbm, q_ref, qs_ref, kv_hbm, kvs_ref,
             d.wait()
         k = kvbuf[slot, :, :D]        # (tile_k, D) int8
         v = kvbuf[slot, :, D:]        # (tile_k, D) int8
+        ksc = scbuf[slot, 0:1, :]     # (1, tile_k) fp32
+        bias = scbuf[slot, 1:2, :]    # (1, tile_k): 0 or -1e30
+        vsc = scbuf[slot, 2:3, :]
 
         s32 = jax.lax.dot_general(qq, k, (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.int32)
-
-        # gather this group's K/V row scales: kvs_ref is (1, 2, Lkp)
-        ksc_parts, vsc_parts, col_parts = [], [], []
-        for t in range(group):
-            kb = lut_ref[g * group + t]
-            start = pl.multiple_of(kb * block_k, block_k)
-            ksc_parts.append(kvs_ref[0, 0:1, pl.ds(start, block_k)])
-            vsc_parts.append(kvs_ref[0, 1:2, pl.ds(start, block_k)])
-            col_parts.append(jnp.full((1, block_k), kb * block_k, jnp.int32))
-        ksc = jnp.concatenate(ksc_parts, axis=1)   # (1, tile_k)
-        vsc = jnp.concatenate(vsc_parts, axis=1)
-        kb_row = jnp.concatenate(col_parts, axis=1)
-
-        s = s32.astype(jnp.float32) * qsc * ksc * scale
-
-        within = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        col = kb_row + (within % block_k)
-        entry = g * group + within // block_k
-        s = jnp.where((col < kv_len) & (entry < sel), s, NEG_INF)
+        s = (s32.astype(jnp.float32) * qsc) * ksc + bias
 
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         alpha = jnp.exp(m - m_new)
@@ -425,26 +421,19 @@ def _flash_fwd_impl(q, k, v, lut, *, scale, block_q, block_k, int8_qk,
     else:
         sel = lut.shape[-1]
         NBUF = 4             # K/V tile ring depth
-        # Gather GROUP selected blocks per MXU pass. Padded entries re-fetch
-        # real blocks (masked but not free), so pick the GROUP in [4, 8] that
-        # minimizes ceil(sel/G)*G - sel, preferring larger tiles on ties.
-        GROUP = min(8, sel)
-        best_waste = _cdiv(sel, GROUP) * GROUP - sel
-        for g in range(8, 3, -1):
-            if g > sel:
-                continue
-            waste = _cdiv(sel, g) * g - sel
-            if waste < best_waste:
-                GROUP, best_waste = g, waste
+        GROUP = _pick_group(sel)
         n_groups = _cdiv(sel, GROUP)
-        # Pad LUT entries to a full last group (with a valid block id; the
-        # kernel masks padded entries by index), then pad the lane dim to the
-        # 128 tiling so HBM row slices are aligned.
+        # Pad LUT entries to a full last group. In the int8 path padded
+        # entries point at the POISON block (index nK, zero K/V, -inf bias);
+        # the bf16 path masks them by entry index and re-fetches a real
+        # block. Then pad the lane dim to the 128 tiling so HBM row slices
+        # are aligned.
         lut_flat = lut.reshape(B * H, nQ, sel).astype(jnp.int32)
         entry_pad = n_groups * GROUP - sel
+        pad_block = nK if int8_qk else max(nK - 1, 0)
         if entry_pad:
             lut_flat = jnp.pad(lut_flat, ((0, 0), (0, 0), (0, entry_pad)),
-                               constant_values=max(nK - 1, 0))
+                               constant_values=pad_block)
         sel_pad = _cdiv(n_groups * GROUP, 128) * 128
         lut_flat = jnp.pad(
             lut_flat, ((0, 0), (0, 0), (0, sel_pad - n_groups * GROUP)))
@@ -462,20 +451,52 @@ def _flash_fwd_impl(q, k, v, lut, *, scale, block_q, block_k, int8_qk,
         any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
 
         if int8_qk:
-            qi, qs = _rowquant_i8(qf)                  # (BH, Lp, D), (BH, Lp, 1)
-            ki, ks = _rowquant_i8(kf)
-            vi, vs = _rowquant_i8(vf)
-            # pack K|V along features: one DMA descriptor per gathered block
+            BH = B * H
+            if interpret or jax.default_backend() != "tpu":
+                qi, qs = _rowquant_i8(qf)              # (BH, Lp, D), (BH, Lp, 1)
+                ki, ks = _rowquant_i8(kf)
+                vi, vs = _rowquant_i8(vf)
+            else:
+                from turbodiffusion_tpu.ops.quant import (
+                    quantize_rows_int8_pallas)
+                def rq(x):
+                    xq, xs = quantize_rows_int8_pallas(
+                        x.reshape(-1, x.shape[-1]))
+                    return (xq.reshape(x.shape),
+                            xs.reshape(*x.shape[:-1], 1))
+                qi, qs = rq(qf)
+                ki, ks = rq(kf)
+                vi, vs = rq(vf)
+            qs = qs * scale                            # fold softmax scale
+            # pack K|V along features: one DMA descriptor per gathered
+            # block; append the poison block (zeros)
             kvi = jnp.concatenate([ki, vi], axis=-1)   # (BH, Lkp, 2D) int8
-            kvs = jnp.concatenate([jnp.swapaxes(ks, 1, 2),
-                                   jnp.swapaxes(vs, 1, 2)], axis=1)  # (BH,2,Lkp)
+            kvi = jnp.pad(kvi, ((0, 0), (0, block_k), (0, 0)))
+            # per-block metadata rows (8, block_k): 0=K scale, 1=additive
+            # bias (0 real / -1e30 pad), 2=V scale, 3-7 zero padding for the
+            # fp32 (8, 128) tile
+            nKp = nK + 1
+            row_id = jnp.arange(nKp * block_k)
+            valid = row_id < Lk                        # poison rows invalid
+            def blockify(s):                           # (BH, Lkp, 1) scales
+                s = jnp.pad(s[..., 0], ((0, 0), (0, block_k)))
+                return jnp.where(valid[None], s, 0.0).reshape(
+                    BH, nKp, block_k)
+            bias_rows = jnp.where(valid, 0.0, NEG_INF).astype(
+                jnp.float32).reshape(1, nKp, block_k)
+            scb = jnp.stack([
+                blockify(ks),
+                jnp.broadcast_to(bias_rows, (BH, nKp, block_k)),
+                blockify(vs),
+            ], axis=2)                                 # (BH, nKp, 3, bk)
+            scb = jnp.pad(scb, ((0, 0), (0, 0), (0, 5), (0, 0)))
 
-            def kernel(lut_hbm, q_ref, qs_ref, kv_hbm, kvs_ref, o_ref,
-                       kvbuf, sems, lut_ref, lut_sem, acc_scr):
+            def kernel(lut_hbm, q_ref, qs_ref, kv_hbm, scb_hbm, o_ref,
+                       kvbuf, scbuf, sems, lut_ref, lut_sem, acc_scr):
                 _sparse_attn_kernel_i8(
-                    lut_hbm, q_ref, qs_ref, kv_hbm, kvs_ref, o_ref,
-                    kvbuf, sems, lut_ref, lut_sem, acc_scr,
-                    scale=scale, block_k=block_k, kv_len=Lk, sel=sel)
+                    lut_hbm, q_ref, qs_ref, kv_hbm, scb_hbm, o_ref,
+                    kvbuf, scbuf, sems, lut_ref, lut_sem, acc_scr,
+                    block_k=block_k, sel=sel)
 
             out = pl.pallas_call(
                 kernel,
@@ -486,17 +507,17 @@ def _flash_fwd_impl(q, k, v, lut, *, scale, block_q, block_k, int8_qk,
                     pl.BlockSpec((1, block_q, 1),
                                  lambda bh, i: (bh, i, 0)),      # q scales
                     any_spec,                                   # K|V int8 (HBM)
-                    pl.BlockSpec((1, 2, kvs.shape[-1]),
-                                 lambda bh, i: (bh, 0, 0)),      # K/V scales
+                    any_spec,                                   # scale/bias blocks
                 ],
                 out_specs=q_spec2,
                 out_shape=out_shape,
                 scratch_shapes=[
                     pltpu.VMEM((NBUF, GROUP * block_k, 2 * Dp), jnp.int8),
+                    pltpu.VMEM((NBUF, 8, GROUP * block_k), jnp.float32),
                 ] + common_scratch,
                 compiler_params=cp,
                 interpret=interpret,
-            )(lut_flat, qi, qs, kvi, kvs)
+            )(lut_flat, qi, qs, kvi, scb)
         else:
             def kernel(lut_hbm, q_ref, k_hbm, v_hbm, o_ref,
                        kbuf, vbuf, sems, lut_ref, lut_sem, acc_scr):

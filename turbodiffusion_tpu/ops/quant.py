@@ -113,8 +113,9 @@ def quantize_rows_int8_pallas(x2, interpret: bool = False):
     v5e; this single pass is bandwidth-bound."""
     M, K = x2.shape
     # ~10 bytes/element live (bf16 in + f32 temp + int8 out, double-buffered);
-    # stay under the 16MB scoped-vmem limit
-    BM = max(8, min(512, (1_200_000 // K) // 8 * 8))
+    # stay under the 16MB scoped-vmem limit. Narrow inputs take tall blocks —
+    # per-grid-step overhead dominates at 64KB blocks.
+    BM = max(8, min(2048, (1_200_000 // K) // 8 * 8))
     BM = min(BM, max(8, M))
     grid = (_cdiv(M, BM),)
     return pl.pallas_call(
