@@ -1,0 +1,154 @@
+"""Tests for the fused SLA front-end (ops/sla_fused.py + sla_attention_fused).
+
+Strategy (the reference's equivalence-test pattern, SURVEY.md §4): each fused
+kernel vs its jnp reference in interpret mode, plus a full-coverage
+(topk=1.0) fused-vs-dense attention test — with every block selected the
+sparse traversal must reproduce dense softmax attention up to int8 noise.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from turbodiffusion_tpu.config import AttentionConfig
+from turbodiffusion_tpu.models.layers import rms_norm
+from turbodiffusion_tpu.models.rope import rope_freqs_3d
+from turbodiffusion_tpu.ops.attention import dense_attention_ref, sla_attention_fused
+from turbodiffusion_tpu.ops.fused_norm import rope_cos_sin_full, rmsnorm_rope_ref
+from turbodiffusion_tpu.ops.sla_fused import (
+    block_map_from_pooled, head_planes, head_planes_ref, subquant_planes,
+    unfold_quant)
+
+B, L, H, DH = 1, 520, 2, 128  # L deliberately not a block multiple
+HD = H * DH
+
+
+@pytest.fixture
+def data():
+    ks = jax.random.split(jax.random.PRNGKey(0), 5)
+    x = jax.random.normal(ks[0], (B, L, HD), jnp.bfloat16)
+    w = 1.0 + 0.1 * jax.random.normal(ks[1], (HD,), jnp.bfloat16)
+    freqs = rope_freqs_3d(2, 13, 20, DH)
+    cosF, sinF = rope_cos_sin_full(freqs)
+    return x, w, cosF, sinF
+
+
+def test_head_planes_all_outputs(data):
+    x, w, cosF, sinF = data
+    pad_to = 1024
+    cosP = jnp.pad(cosF, ((0, pad_to - L), (0, 0)))
+    sinP = jnp.pad(sinF, ((0, pad_to - L), (0, 0)))
+    out = head_planes(x, w, cosP, sinP, num_heads=H, eps=1e-5, pool=128,
+                      quant=True, bf16_out=True, pad_to=pad_to,
+                      interpret=True)
+    ref = head_planes_ref(x, w, cosF, sinF, num_heads=H, eps=1e-5, pool=128)
+    np.testing.assert_allclose(
+        np.asarray(out["bf16"][:, :, :L], jnp.float32),
+        np.asarray(ref["bf16"], jnp.float32), atol=2e-2)
+    np.testing.assert_allclose(
+        np.asarray(out["pooled"], jnp.float32),
+        np.asarray(ref["pooled"], jnp.float32), atol=2e-2)
+    np.testing.assert_allclose(
+        np.asarray(out["scale"][:, :, :L]), np.asarray(ref["scale"]),
+        rtol=2e-2)
+    # int8 values within 1 ulp of the reference quantization
+    assert np.abs(np.asarray(out["i8"][:, :, :L], np.int32)
+                  - np.asarray(ref["i8"], np.int32)).max() <= 2
+
+
+def test_head_planes_fold_only(data):
+    """V mode: no norm, no rope — pure fold + quant."""
+    x, _, _, _ = data
+    out = head_planes(x, num_heads=H, quant=True, bf16_out=True,
+                      pad_to=1024, interpret=True)
+    ref = jnp.swapaxes(x.reshape(B, L, H, DH), 1, 2)
+    np.testing.assert_array_equal(
+        np.asarray(out["bf16"][:, :, :L], jnp.float32),
+        np.asarray(ref, jnp.float32))
+
+
+def test_block_map_k_mean(data):
+    """k_mean recovered from pooled blocks == full-tensor mean."""
+    x, w, cosF, sinF = data
+    ref = head_planes_ref(x, w, cosF, sinF, num_heads=H, eps=1e-5, pool=128)
+    _, _, k_mean = block_map_from_pooled(ref["pooled"], ref["pooled"], L,
+                                         128, 0.5)
+    full_mean = jnp.mean(ref["bf16"].astype(jnp.float32), axis=2,
+                         keepdims=True)
+    np.testing.assert_allclose(np.asarray(k_mean), np.asarray(full_mean),
+                               atol=2e-3)
+
+
+def test_subquant_planes(data):
+    x, _, _, _ = data
+    planes = jnp.swapaxes(x.reshape(B, L, H, DH), 1, 2)
+    planes = jnp.pad(planes, ((0, 0), (0, 0), (0, 1024 - L), (0, 0)))
+    mu = jnp.mean(planes.astype(jnp.float32), axis=2, keepdims=True)
+    i8, sc = subquant_planes(planes, mu, interpret=True)
+    deq = np.asarray(i8, np.float32) * np.asarray(sc)
+    ref = np.asarray(planes, np.float32) - np.asarray(mu)
+    np.testing.assert_allclose(deq, ref, atol=np.abs(ref).max() / 100)
+
+
+def test_unfold_quant(data):
+    x, _, _, _ = data
+    planes = jnp.swapaxes(x.reshape(B, L, H, DH), 1, 2)
+    planes = jnp.pad(planes, ((0, 0), (0, 0), (0, 1024 - L), (0, 0)))
+    i8, sc = unfold_quant(planes, L, interpret=True)
+    assert i8.shape == (B, L, HD)
+    deq = np.asarray(i8, np.float32) * np.asarray(sc)
+    np.testing.assert_allclose(deq, np.asarray(x, np.float32),
+                               atol=float(jnp.abs(x).max()) / 80)
+
+
+def test_fused_full_coverage_matches_dense(data):
+    """topk=1.0: every K block selected => fused SageSLA == dense softmax
+    attention on the normed+roped tensors, up to int8 quantization noise."""
+    x, w, cosF, sinF = data
+    kx = jax.random.split(jax.random.PRNGKey(7), 3)
+    q_proj = jax.random.normal(kx[0], (B, L, HD), jnp.bfloat16)
+    k_proj = jax.random.normal(kx[1], (B, L, HD), jnp.bfloat16)
+    v_proj = jax.random.normal(kx[2], (B, L, HD), jnp.bfloat16)
+
+    cfg = AttentionConfig(backend="sagesla", sla_topk=1.0, block_q=128,
+                          block_k=128, linear_branch=False)
+    o_planes = sla_attention_fused(
+        q_proj, k_proj, v_proj, w, w, (cosF, sinF), None, cfg,
+        num_heads=H, eps=1e-5, interpret=True)
+    out = jnp.swapaxes(o_planes[:, :, :L], 1, 2)     # (B, L, H, DH)
+
+    q = rmsnorm_rope_ref(q_proj, w, cosF, sinF, eps=1e-5)
+    k = rmsnorm_rope_ref(k_proj, w, cosF, sinF, eps=1e-5)
+    v = v_proj.reshape(B, L, H, DH)
+    # dense ref wants (B, L, H, D)
+    ref = dense_attention_ref(q.astype(jnp.float32), k.astype(jnp.float32),
+                              v.astype(jnp.float32))
+    err = np.abs(np.asarray(out, np.float32) - np.asarray(ref, np.float32))
+    rel = err.max() / np.abs(np.asarray(ref)).max()
+    assert rel < 0.06, rel
+
+
+def test_fused_with_linear_branch_zero_proj(data):
+    """Zero proj_l => linear branch contributes exactly its bias (zero)."""
+    x, w, cosF, sinF = data
+    kx = jax.random.split(jax.random.PRNGKey(8), 3)
+    q_proj = jax.random.normal(kx[0], (B, L, HD), jnp.bfloat16)
+    k_proj = jax.random.normal(kx[1], (B, L, HD), jnp.bfloat16)
+    v_proj = jax.random.normal(kx[2], (B, L, HD), jnp.bfloat16)
+    proj_l = {"w": jnp.zeros((DH, DH), jnp.float32),
+              "b": jnp.zeros((DH,), jnp.float32)}
+
+    base = AttentionConfig(backend="sagesla", sla_topk=0.5, block_q=128,
+                           block_k=128, linear_branch=False)
+    with_lin = AttentionConfig(backend="sagesla", sla_topk=0.5, block_q=128,
+                               block_k=128, linear_branch=True)
+    o1 = sla_attention_fused(q_proj, k_proj, v_proj, w, w, (cosF, sinF),
+                             None, base, num_heads=H, eps=1e-5,
+                             interpret=True)
+    o2 = sla_attention_fused(q_proj, k_proj, v_proj, w, w, (cosF, sinF),
+                             proj_l, with_lin, num_heads=H, eps=1e-5,
+                             interpret=True)
+    np.testing.assert_allclose(np.asarray(o1[:, :, :L], np.float32),
+                               np.asarray(o2[:, :, :L], np.float32),
+                               atol=1e-6)

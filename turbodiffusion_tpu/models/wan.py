@@ -42,20 +42,56 @@ T5_CONTEXT_TOKEN_NUMBER = 512
 # Sub-forward functions
 # ---------------------------------------------------------------------------
 
+def _use_fused_sla(p, cfg: WanConfig) -> bool:
+    """Single-chip TPU inference takes the fully-fused SageSLA path
+    (ops/attention.sla_attention_fused); CP meshes, CPU, training (jvp needs
+    the reference impl) and non-sage backends use the composable path."""
+    import jax as _jax
+    from turbodiffusion_tpu.parallel.sharding import get_mesh
+    from turbodiffusion_tpu.parallel.ulysses import context_parallel_size
+    a = cfg.attention
+    return (a.backend == "sagesla" and not a.use_reference_impl
+            and _jax.default_backend() == "tpu"
+            and cfg.head_dim % 128 == 0
+            and a.block_q >= 128 and a.block_k >= 128
+            and context_parallel_size(get_mesh()) <= 1)
+
+
 def _self_attention(p, x, rope_cs, cfg: WanConfig):
     """WanSelfAttention (wan2pt1.py:215-277): QKV + RMSNorm-QK + RoPE + attn.
 
     The RMSNorm (full-dim) + rotate-half RoPE on Q/K run as one fused Pallas
     pass (ops/fused_norm.rmsnorm_rope) — the unfused chain costs 4 extra HBM
-    round-trips per layer at 480p geometry."""
+    round-trips per layer at 480p geometry. On single-chip TPU the whole
+    SageSLA front-end (norm+rope+fold+pool+quant) is fused further
+    (sla_attention_fused)."""
     B, Lx, D = x.shape
     H, Dh = cfg.num_heads, cfg.head_dim
     cosF, sinF = rope_cs
-    q = rmsnorm_rope(linear_maybe_quant(p["q"], x), p["norm_q"]["scale"],
+
+    q_proj = linear_maybe_quant(p["q"], x)
+    k_proj = linear_maybe_quant(p["k"], x)
+    v_proj = linear_maybe_quant(p["v"], x)
+
+    if _use_fused_sla(p, cfg):
+        from turbodiffusion_tpu.ops.attention import sla_attention_fused
+        from turbodiffusion_tpu.ops.sla_fused import (
+            unfold_planes, unfold_quant)
+        o_planes = sla_attention_fused(
+            q_proj, k_proj, v_proj, p["norm_q"]["scale"],
+            p["norm_k"]["scale"], rope_cs, p.get("proj_l"), cfg.attention,
+            num_heads=H, eps=cfg.eps)
+        if "w_int8" in p["o"] and p["o"]["scale"].ndim == 1:
+            from turbodiffusion_tpu.ops.quant import int8_linear_prequant
+            xq, rs = unfold_quant(o_planes, Lx)
+            return int8_linear_prequant(xq, rs, p["o"])
+        return linear_maybe_quant(p["o"], unfold_planes(o_planes, Lx))
+
+    q = rmsnorm_rope(q_proj, p["norm_q"]["scale"],
                      cosF, sinF, num_heads=H, eps=cfg.eps)
-    k = rmsnorm_rope(linear_maybe_quant(p["k"], x), p["norm_k"]["scale"],
+    k = rmsnorm_rope(k_proj, p["norm_k"]["scale"],
                      cosF, sinF, num_heads=H, eps=cfg.eps)
-    v = linear_maybe_quant(p["v"], x).reshape(B, Lx, H, Dh)
+    v = v_proj.reshape(B, Lx, H, Dh)
     # Ulysses CP: explicit shard_map + all_to_all when a context axis is
     # active (≡ rcm/utils/a2a_cp.py:43-200); plain dispatch otherwise.
     from turbodiffusion_tpu.parallel.ulysses import ulysses_attention

@@ -207,6 +207,55 @@ def sla_attention(q, k, v, proj_l, cfg: AttentionConfig,
     return (o_s + o_l).astype(q.dtype)
 
 
+def sla_attention_fused(q_proj, k_proj, v_proj, norm_q_w, norm_k_w, rope_cs,
+                        proj_l, cfg: AttentionConfig, *, num_heads: int,
+                        eps: float = 1e-6, interpret: bool = False):
+    """Fully-fused SageSLA from raw QKV projection outputs (B, L, H*Dh).
+
+    Collapses RMSNorm-QK, RoPE, the fold transpose, block-map pooling,
+    smooth-k, and all int8 quantization into head-plane Pallas passes
+    (ops/sla_fused.py). Returns (B, H, Lp, Dh) bf16 planes — feed
+    `unfold_quant`/`unfold_planes` into the O projection. Inference path
+    (no VJP); training and non-TPU use `sla_attention`.
+    """
+    from turbodiffusion_tpu.ops.flash_pallas import sparse_attention_i8_planes
+    from turbodiffusion_tpu.ops.linear_attention_pallas import (
+        linear_projected_planes)
+    from turbodiffusion_tpu.ops.sla_fused import (
+        block_map_from_pooled, head_planes, subquant_planes)
+
+    B, L, HD = q_proj.shape
+    H = num_heads
+    pad_to = -(-L // 512) * 512
+    assert pad_to % cfg.block_q == 0 and pad_to % cfg.block_k == 0
+    cosF, sinF = rope_cs
+    cosP = jnp.pad(cosF, ((0, pad_to - cosF.shape[0]), (0, 0)))
+    sinP = jnp.pad(sinF, ((0, pad_to - sinF.shape[0]), (0, 0)))
+    lin = cfg.linear_branch
+
+    Q = head_planes(q_proj, norm_q_w, cosP, sinP, num_heads=H, eps=eps,
+                    pool=cfg.block_q, quant=True, bf16_out=lin,
+                    pad_to=pad_to, interpret=interpret)
+    K = head_planes(k_proj, norm_k_w, cosP, sinP, num_heads=H, eps=eps,
+                    pool=cfg.block_k, quant=False, bf16_out=True,
+                    pad_to=pad_to, interpret=interpret)
+    V = head_planes(v_proj, num_heads=H, pool=0, quant=True, bf16_out=lin,
+                    pad_to=pad_to, interpret=interpret)
+
+    lut, _, k_mean = block_map_from_pooled(
+        Q["pooled"], K["pooled"], L, cfg.block_k, cfg.sla_topk)
+    ki, ks = subquant_planes(K["bf16"], k_mean, interpret=interpret)
+    o = sparse_attention_i8_planes(
+        Q["i8"], Q["scale"], ki, ks, V["i8"], V["scale"], lut,
+        block_q=cfg.block_q, block_k=cfg.block_k, kv_len=L,
+        interpret=interpret)
+    if lin:
+        o = o + linear_projected_planes(
+            Q["bf16"], K["bf16"], V["bf16"],
+            proj_l["w"], proj_l["b"], true_len=L, interpret=interpret)
+    return o
+
+
 def attention(q, k, v, cfg: AttentionConfig, proj_l=None):
     """Backend dispatch mirroring --attention_type (wan2.1_t2v_infer.py:51)."""
     if cfg.backend == "dense":

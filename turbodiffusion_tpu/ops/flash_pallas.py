@@ -448,10 +448,9 @@ def _flash_fwd_impl(q, k, v, lut, *, scale, block_q, block_k, int8_qk,
         cp = pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"))
         q_spec2 = pl.BlockSpec((1, block_q, Dp), lambda bh, i: (bh, i, 0))
-        any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        any_spec = pl.BlockSpec(memory_space=pl.ANY)
 
         if int8_qk:
-            BH = B * H
             if interpret or jax.default_backend() != "tpu":
                 qi, qs = _rowquant_i8(qf)              # (BH, Lp, D), (BH, Lp, 1)
                 ki, ks = _rowquant_i8(kf)
@@ -467,57 +466,13 @@ def _flash_fwd_impl(q, k, v, lut, *, scale, block_q, block_k, int8_qk,
                 qi, qs = rq(qf)
                 ki, ks = rq(kf)
                 vi, vs = rq(vf)
-            qs = qs * scale                            # fold softmax scale
-            # pack K|V along features: one DMA descriptor per gathered
-            # block; append the poison block (zeros)
-            kvi = jnp.concatenate([ki, vi], axis=-1)   # (BH, Lkp, 2D) int8
-            kvi = jnp.pad(kvi, ((0, 0), (0, block_k), (0, 0)))
-            # per-block metadata rows (8, block_k): 0=K scale, 1=additive
-            # bias (0 real / -1e30 pad), 2=V scale, 3-7 zero padding for the
-            # fp32 (8, 128) tile
-            nKp = nK + 1
-            row_id = jnp.arange(nKp * block_k)
-            valid = row_id < Lk                        # poison rows invalid
-            def blockify(s):                           # (BH, Lkp, 1) scales
-                s = jnp.pad(s[..., 0], ((0, 0), (0, block_k)))
-                return jnp.where(valid[None], s, 0.0).reshape(
-                    BH, nKp, block_k)
-            bias_rows = jnp.where(valid, 0.0, NEG_INF).astype(
-                jnp.float32).reshape(1, nKp, block_k)
-            scb = jnp.stack([
-                blockify(ks),
-                jnp.broadcast_to(bias_rows, (BH, nKp, block_k)),
-                blockify(vs),
-            ], axis=2)                                 # (BH, nKp, 3, bk)
-            scb = jnp.pad(scb, ((0, 0), (0, 0), (0, 5), (0, 0)))
-
-            def kernel(lut_hbm, q_ref, qs_ref, kv_hbm, scb_hbm, o_ref,
-                       kvbuf, scbuf, sems, lut_ref, lut_sem, acc_scr):
-                _sparse_attn_kernel_i8(
-                    lut_hbm, q_ref, qs_ref, kv_hbm, scb_hbm, o_ref,
-                    kvbuf, scbuf, sems, lut_ref, lut_sem, acc_scr,
-                    block_k=block_k, sel=sel)
-
-            out = pl.pallas_call(
-                kernel,
-                grid=(B * H, nQ),
-                in_specs=[
-                    any_spec,                                   # LUT
-                    q_spec2,                                    # q int8
-                    pl.BlockSpec((1, block_q, 1),
-                                 lambda bh, i: (bh, i, 0)),      # q scales
-                    any_spec,                                   # K|V int8 (HBM)
-                    any_spec,                                   # scale/bias blocks
-                ],
-                out_specs=q_spec2,
-                out_shape=out_shape,
-                scratch_shapes=[
-                    pltpu.VMEM((NBUF, GROUP * block_k, 2 * Dp), jnp.int8),
-                    pltpu.VMEM((NBUF, 8, GROUP * block_k), jnp.float32),
-                ] + common_scratch,
-                compiler_params=cp,
-                interpret=interpret,
-            )(lut_flat, qi, qs, kvi, scb)
+            out = sparse_attention_i8_planes(
+                qi.reshape(B, H, Lp, Dp), qs.reshape(B, H, Lp, 1),
+                ki.reshape(B, H, Lkp, Dp), ks.reshape(B, H, Lkp, 1),
+                vi.reshape(B, H, Lkp, Dp), vs.reshape(B, H, Lkp, 1),
+                lut, scale=scale, block_q=block_q, block_k=block_k,
+                kv_len=Lk, interpret=interpret)
+            out = out.reshape(B * H, Lp, Dp)
         else:
             def kernel(lut_hbm, q_ref, k_hbm, v_hbm, o_ref,
                        kbuf, vbuf, sems, lut_ref, lut_sem, acc_scr):
@@ -542,6 +497,109 @@ def _flash_fwd_impl(q, k, v, lut, *, scale, block_q, block_k, int8_qk,
 
     out = out[:, :L, :D].reshape(B, H, L, D)
     return jnp.swapaxes(out, 1, 2)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k",
+                                              "kv_len", "interpret"))
+def sparse_attention_i8_planes(qi, qs, ki, ks, vi, vs, lut, *,
+                               scale: Optional[float] = None,
+                               block_q: int = 256, block_k: int = 256,
+                               kv_len: Optional[int] = None,
+                               interpret: bool = False):
+    """Block-sparse SageSLA attention over pre-quantized head planes.
+
+    qi/ki/vi: (B, H, Lp, D) int8 (Lp a block multiple); qs/ks/vs: (B, H, Lp, 1)
+    fp32 row scales; lut: (B, H, nQ, sel) int32 selected K-block ids.
+    Rows in [kv_len, Lp) may be garbage — they are masked by the poison-block
+    bias. Returns (B, H, Lp, D) planes in bf16.
+    """
+    B, H, Lp, D = qi.shape
+    Lkp = ki.shape[2]
+    BH = B * H
+    kv_len = Lkp if kv_len is None else kv_len
+    scale = float(D ** -0.5) if scale is None else float(scale)
+    nQ, nK = Lp // block_q, Lkp // block_k
+    sel = lut.shape[-1]
+    NBUF = 4
+    GROUP = _pick_group(sel)
+    n_groups = _cdiv(sel, GROUP)
+
+    qi = qi.reshape(BH, Lp, D)
+    qs = qs.reshape(BH, Lp, 1) * scale              # fold softmax scale
+    ki = ki.reshape(BH, Lkp, D)
+    vi = vi.reshape(BH, Lkp, D)
+
+    # LUT: pad Q-block rows out to the padded grid (all-poison rows produce
+    # zero output rows, which are dropped), pad entries to full groups with
+    # the POISON block id (nK), and pad the lane dim to the 128 tiling for
+    # aligned SMEM row DMAs.
+    lut_flat = lut.reshape(BH, lut.shape[-2], sel).astype(jnp.int32)
+    if lut_flat.shape[1] < nQ:
+        lut_flat = jnp.pad(lut_flat,
+                           ((0, 0), (0, nQ - lut_flat.shape[1]), (0, 0)),
+                           constant_values=nK)
+    entry_pad = n_groups * GROUP - sel
+    if entry_pad:
+        lut_flat = jnp.pad(lut_flat, ((0, 0), (0, 0), (0, entry_pad)),
+                           constant_values=nK)
+    sel_pad = _cdiv(n_groups * GROUP, 128) * 128
+    lut_flat = jnp.pad(lut_flat,
+                       ((0, 0), (0, 0), (0, sel_pad - n_groups * GROUP)))
+
+    # pack K|V along features (one DMA descriptor per gathered block) and
+    # append the poison block (zeros)
+    kvi = jnp.concatenate([ki, vi], axis=-1)        # (BH, Lkp, 2D) int8
+    kvi = jnp.pad(kvi, ((0, 0), (0, block_k), (0, 0)))
+    # per-block metadata rows (8, block_k): 0=K scale, 1=additive bias
+    # (0 real / -1e30 pad), 2=V scale, 3-7 zero padding for the fp32 tile
+    nKp = nK + 1
+    valid = jnp.arange(nKp * block_k) < kv_len
+    def blockify(s):                                # (B, H, Lkp, 1) scales
+        s = jnp.pad(s.reshape(BH, Lkp), ((0, 0), (0, block_k)))
+        return jnp.where(valid[None], s, 0.0).reshape(BH, nKp, block_k)
+    bias_rows = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32
+                                                      ).reshape(1, nKp, block_k)
+    scb = jnp.stack([
+        blockify(ks),
+        jnp.broadcast_to(bias_rows, (BH, nKp, block_k)),
+        blockify(vs),
+    ], axis=2)                                      # (BH, nKp, 3, bk)
+    scb = jnp.pad(scb, ((0, 0), (0, 0), (0, 5), (0, 0)))
+
+    def kernel(lut_hbm, q_ref, qs_ref, kv_hbm, scb_hbm, o_ref,
+               kvbuf, scbuf, sems, lut_ref, lut_sem, acc_scr):
+        _sparse_attn_kernel_i8(
+            lut_hbm, q_ref, qs_ref, kv_hbm, scb_hbm, o_ref,
+            kvbuf, scbuf, sems, lut_ref, lut_sem, acc_scr,
+            block_k=block_k, sel=sel)
+
+    q_spec = pl.BlockSpec((1, block_q, D), lambda bh, i: (bh, i, 0))
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    out = pl.pallas_call(
+        kernel,
+        grid=(BH, nQ),
+        in_specs=[
+            any_spec,                                       # LUT
+            q_spec,                                         # q int8
+            pl.BlockSpec((1, block_q, 1), lambda bh, i: (bh, i, 0)),
+            any_spec,                                       # K|V int8 (HBM)
+            any_spec,                                       # scale/bias blocks
+        ],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((BH, Lp, D), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((NBUF, GROUP * block_k, 2 * D), jnp.int8),
+            pltpu.VMEM((NBUF, 8, GROUP * block_k), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, NBUF)),
+            pltpu.SMEM((2, sel_pad), jnp.int32),            # LUT row ring
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((block_q, D), jnp.float32),          # acc
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(lut_flat, qi, qs, kvi, scb)
+    return out.reshape(B, H, Lp, D)
 
 
 # ---------------------------------------------------------------------------
@@ -857,7 +915,7 @@ def _flash_bwd_fused(q, k, v, lut, g, *, scale, block_q, block_k, interpret):
         lut_pad, ((0, 0), (0, 0), (0, sel_pad - n_groups * GROUP)))
 
     q_spec = pl.BlockSpec((1, block_q, Dp), lambda bh, i: (bh, i, 0))
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
     cp = pltpu.CompilerParams(dimension_semantics=("parallel", "arbitrary"))
 
     kvf = jnp.concatenate([kf, vf], axis=-1)       # (BH, Lkp, 2Dp)

@@ -52,6 +52,9 @@ def _kv_kernel(k_ref, v_ref, kv_ref, ksum_ref, kv_acc, ks_acc, *,
     pk = _phi(k)                                      # (bk, D) f32
     row = j * block_k + jax.lax.broadcasted_iota(jnp.int32, pk.shape, 0)
     pk = jnp.where(row < kv_len, pk, 0.0)
+    # v padding rows may be NaN garbage (planes inputs are unwritten past
+    # kv_len) — 0 * NaN poisons the contraction, so mask v as well
+    v = jnp.where(row < kv_len, v, 0.0)
     kv_acc[...] += jax.lax.dot_general(pk, v, (((0,), (0,)), ((), ())),
                                        preferred_element_type=jnp.float32)
     ks_acc[...] += jnp.sum(pk, axis=0, keepdims=True)
@@ -115,6 +118,69 @@ def linear_attention_projected(q, k, v, w, b, block: int = 512,
     pass (the fused Pallas forward has no JVP rule), so SLA training — whose
     main trainable is proj_l — works through the fast path on TPU."""
     return _linear_projected(q, k, v, w, b, block, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("true_len", "block", "interpret"))
+def linear_projected_planes(qp, kp, vp, w, b, true_len: int,
+                            block: int = 512, interpret: bool = False):
+    """Head-planes variant for the fused SLA path: inputs/outputs are
+    (B, H, Lp, D) with Lp a block multiple; rows in [true_len, Lp) are
+    garbage in and garbage out (masked by kv_len in the accumulation).
+    Inference-only (no VJP) — training uses `linear_attention_projected`."""
+    B, H, Lp, D = qp.shape
+    out = _planes_impl(qp.reshape(B * H, Lp, D), kp.reshape(B * H, Lp, D),
+                       vp.reshape(B * H, Lp, D), w, b, true_len, block,
+                       interpret)
+    return out.reshape(B, H, Lp, D)
+
+
+def _planes_impl(qf, kf, vf, w, b, kv_len: int, block: int, interpret: bool):
+    BH, Lp, D = qf.shape
+    nQ = nK = Lp // block
+
+    kv, ksum = pl.pallas_call(
+        functools.partial(_kv_kernel, kv_len=kv_len, block_k=block),
+        grid=(BH, nK),
+        in_specs=[
+            pl.BlockSpec((1, block, D), lambda bh, j: (bh, j, 0)),
+            pl.BlockSpec((1, block, D), lambda bh, j: (bh, j, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, D, D), lambda bh, j: (bh, 0, 0)),
+            pl.BlockSpec((1, 1, D), lambda bh, j: (bh, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((BH, D, D), jnp.float32),
+            jax.ShapeDtypeStruct((BH, 1, D), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((D, D), jnp.float32),
+            pltpu.VMEM((1, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(kf, vf)
+
+    # fold proj_l into the per-head kv matrices (tiny (D,D) matmuls)
+    kvw = jnp.einsum("nde,ef->ndf", kv, w.astype(jnp.float32))
+    bias = jnp.broadcast_to(b.astype(jnp.float32)[None, None], (BH, 1, D))
+
+    return pl.pallas_call(
+        _apply_kernel,
+        grid=(BH, nQ),
+        in_specs=[
+            pl.BlockSpec((1, block, D), lambda bh, i: (bh, i, 0)),
+            pl.BlockSpec((1, D, D), lambda bh, i: (bh, 0, 0)),
+            pl.BlockSpec((1, 1, D), lambda bh, i: (bh, 0, 0)),
+            pl.BlockSpec((1, 1, D), lambda bh, i: (bh, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block, D), lambda bh, i: (bh, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((BH, Lp, D), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=interpret,
+    )(qf, kvw, ksum, bias)
 
 
 def _linear_projected_impl(q, k, v, w, b, block: int, interpret: bool):

@@ -228,6 +228,19 @@ def int8_gemm_postscale_pallas(xq, row_scale, wq, col_scale, bias=None,
     )(*args)
 
 
+def int8_linear_prequant(xq, row_scale, p, act: Optional[str] = None):
+    """Postscale W8A8 linear over a pre-quantized activation (xq int8 with
+    (…,1) fp32 row scales) — used when the producer kernel already emitted
+    int8 (e.g. the fused SLA unfold)."""
+    shape = xq.shape
+    b = p.get("b")
+    y = int8_gemm_postscale_pallas(
+        xq.reshape(-1, shape[-1]), row_scale.reshape(-1, 1),
+        p["w_int8"], p["scale"], bias=b, act=act, has_bias=b is not None,
+        out_dtype=jnp.bfloat16)
+    return y.reshape(*shape[:-1], p["w_int8"].shape[1])
+
+
 def int8_linear_postscale(x, w_int8, col_scale, bias=None,
                           act: Optional[str] = None):
     """y = act((rowquant(x) @ w_int8) * row_scale * col_scale + bias).

@@ -1,0 +1,316 @@
+"""Fused SLA attention front-end for TPU.
+
+The unfused SageSLA data path costs ~11 full HBM passes per layer around the
+sparse kernel itself: RMSNorm+RoPE on Q/K, (B,L,H,D)->(BH,L,D) fold
+transposes, block-map mean-pools over full Q/K, the smooth-k mean+subtract,
+and three per-row int8 quantizations. This module collapses them:
+
+  * `head_planes`    — one pass over a QKV projection output producing any of:
+                       bf16 head-planes (B,H,L,Dh) (the sparse kernel's native
+                       layout — no fold transpose), per-(head,token) int8 +
+                       scales, and per-block pooled means for the block map.
+                       Optionally fused full-dim RMSNorm and rotate-half RoPE.
+  * `block_map_from_pooled` — top-k LUT from the pooled side-outputs; the
+                       smooth-k mean (SLA/utils.py:55-67) is recovered from
+                       the pooled blocks instead of re-reading K.
+  * `subquant_planes`— (K - mean) int8 quantization in one pass.
+  * `unfold_quant`   — head-planes -> (B,L,H*Dh) int8 + per-token scales,
+                       feeding the O projection's W8A8 GEMM directly.
+
+Behavioral reference for the math: SLA/core.py:38-258 and SLA/utils.py;
+layout/fusion strategy is TPU-specific.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+INT8_MAX = 127.0
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+# ---------------------------------------------------------------------------
+# head_planes kernel
+# ---------------------------------------------------------------------------
+
+def _head_planes_kernel(refs, *, H: int, Dh: int, eps: float, L: int,
+                        TL: int, pool: int, do_norm: bool, do_rope: bool,
+                        do_quant: bool, do_bf16: bool):
+    it = iter(refs)
+    x_ref = next(it)                         # (1, TL, H*Dh)
+    w_ref = next(it) if do_norm else None    # (1, H*Dh)
+    cos_ref = next(it) if do_rope else None  # (TL, Dh)
+    sin_ref = next(it) if do_rope else None
+    bf_ref = next(it) if do_bf16 else None   # (1, H, TL, Dh)
+    i8_ref = next(it) if do_quant else None  # (1, H, TL, Dh)
+    sc_ref = next(it) if do_quant else None  # (1, H, TL, 1)
+    pool_ref = next(it) if pool else None    # (1, H, TL//pool, Dh)
+
+    i = pl.program_id(1)
+    if do_norm:
+        xf = x_ref[0].astype(jnp.float32)    # (TL, H*Dh)
+        rms = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    if pool:
+        offs = i * TL + jax.lax.broadcasted_iota(jnp.int32, (TL, 1), 0)
+        valid = (offs < L).astype(jnp.float32)               # (TL, 1)
+        counts = jnp.maximum(
+            jnp.sum(valid.reshape(TL // pool, pool, 1), axis=1), 1.0)
+
+    cosF = cos_ref[...] if do_rope else None
+    sinF = sin_ref[...] if do_rope else None
+
+    for h in range(H):
+        sl = slice(h * Dh, (h + 1) * Dh)
+        if do_norm:
+            y16 = (xf[:, sl] * rms).astype(bf_ref.dtype if do_bf16
+                                           else jnp.bfloat16) * w_ref[0, sl]
+        else:
+            y16 = x_ref[0, :, sl]
+        if do_rope:
+            yf = y16.astype(jnp.float32)
+            yf = yf * cosF + pltpu.roll(yf, Dh // 2, axis=1) * sinF
+            y16 = yf.astype(y16.dtype)
+        else:
+            yf = y16.astype(jnp.float32)
+        if do_bf16:
+            bf_ref[0, h] = y16
+        if do_quant:
+            amax = jnp.max(jnp.abs(yf), axis=-1, keepdims=True)
+            scale = jnp.maximum(amax, 1e-8) * (1.0 / INT8_MAX)
+            i8_ref[0, h] = jnp.round(yf * (1.0 / scale)).astype(jnp.int8)
+            sc_ref[0, h] = scale
+        if pool:
+            # where, not multiply: out-of-range rows may read NaN garbage
+            seg = jnp.where(valid > 0, yf, 0.0).reshape(TL // pool, pool, Dh)
+            # pooled layout is (B, nP, H, Dh): the (H, Dh) minor dims match
+            # the array dims exactly, satisfying Mosaic's tiling rule for
+            # the small TL//pool sublane count
+            pool_ref[0, :, h] = jnp.sum(seg, axis=1) / counts
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "eps", "pool", "quant", "bf16_out",
+                              "pad_to", "interpret"))
+def head_planes(x, weight=None, cos_full=None, sin_full=None, *,
+                num_heads: int, eps: float = 1e-6, pool: int = 0,
+                quant: bool = False, bf16_out: bool = True,
+                pad_to: Optional[int] = None, interpret: bool = False):
+    """One-pass head-plane transform of a (B, L, H*Dh) projection output.
+
+    Returns a dict with keys among:
+      bf16   (B, H, Lp, Dh)  x.dtype
+      i8     (B, H, Lp, Dh)  int8, per-(head,token) symmetric
+      scale  (B, H, Lp, 1)   fp32
+      pooled (B, H, ceil(L/pool), Dh) fp32 masked block means
+
+    Rows in [L, Lp) are unwritten garbage — consumers mask them (the sparse
+    kernel's poison bias; the unfold's length slice). weight => fused
+    full-dim RMSNorm; cos/sin (Lp, Dh) => fused rotate-half RoPE.
+    """
+    B, L, HD = x.shape
+    H = num_heads
+    Dh = HD // H
+    Lp = pad_to or L
+    # TL=256 keeps the worst case (bf16+i8+pool outputs, fp32 temps, double
+    # buffering) under the 16MB scoped-vmem limit at HD=1536
+    TL = min(256, Lp)
+    assert Lp % TL == 0, (Lp, TL)
+    if pool:
+        assert TL % pool == 0, (TL, pool)
+    do_norm = weight is not None
+    do_rope = cos_full is not None
+    grid = (B, Lp // TL)
+
+    in_specs = [pl.BlockSpec((1, TL, HD), lambda b, i: (b, i, 0))]
+    args = [x]
+    if do_norm:
+        in_specs.append(pl.BlockSpec((1, HD), lambda b, i: (0, 0)))
+        args.append(weight.reshape(1, HD).astype(x.dtype))
+    if do_rope:
+        in_specs += [pl.BlockSpec((TL, Dh), lambda b, i: (i, 0))] * 2
+        args += [cos_full, sin_full]
+
+    out_specs, out_shapes, keys = [], [], []
+    if bf16_out:
+        out_specs.append(pl.BlockSpec((1, H, TL, Dh), lambda b, i: (b, 0, i, 0)))
+        out_shapes.append(jax.ShapeDtypeStruct((B, H, Lp, Dh), x.dtype))
+        keys.append("bf16")
+    if quant:
+        out_specs.append(pl.BlockSpec((1, H, TL, Dh), lambda b, i: (b, 0, i, 0)))
+        out_shapes.append(jax.ShapeDtypeStruct((B, H, Lp, Dh), jnp.int8))
+        keys.append("i8")
+        out_specs.append(pl.BlockSpec((1, H, TL, 1), lambda b, i: (b, 0, i, 0)))
+        out_shapes.append(jax.ShapeDtypeStruct((B, H, Lp, 1), jnp.float32))
+        keys.append("scale")
+    if pool:
+        nP = _cdiv(L, pool)
+        out_specs.append(pl.BlockSpec((1, TL // pool, H, Dh),
+                                      lambda b, i: (b, i, 0, 0)))
+        out_shapes.append(jax.ShapeDtypeStruct((B, nP, H, Dh), jnp.float32))
+        keys.append("pooled")
+
+    kernel = functools.partial(
+        _head_planes_kernel, H=H, Dh=Dh, eps=eps, L=L, TL=TL, pool=pool,
+        do_norm=do_norm, do_rope=do_rope, do_quant=quant, do_bf16=bf16_out)
+
+    outs = pl.pallas_call(
+        lambda *refs: kernel(refs),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        interpret=interpret,
+    )(*args)
+    if len(keys) == 1:
+        outs = (outs,)
+    result = dict(zip(keys, outs))
+    if pool:
+        # expose pooled in (B, H, nP, Dh); the transpose is tiny (nP ~ L/256)
+        result["pooled"] = jnp.swapaxes(result["pooled"], 1, 2)
+    return result
+
+
+def head_planes_ref(x, weight=None, cos_full=None, sin_full=None, *,
+                    num_heads: int, eps: float = 1e-6, pool: int = 0):
+    """jnp reference of head_planes (unpadded): returns the same dict."""
+    from turbodiffusion_tpu.models.layers import rms_norm
+    from turbodiffusion_tpu.ops.fused_norm import rmsnorm_rope_ref
+    B, L, HD = x.shape
+    H, Dh = num_heads, HD // num_heads
+    if weight is not None and cos_full is not None:
+        y = rmsnorm_rope_ref(x, weight, cos_full[:L], sin_full[:L], eps)
+    elif weight is not None:
+        y = rms_norm(x, weight, eps=eps).reshape(B, L, H, Dh)
+    else:
+        y = x.reshape(B, L, H, Dh)
+    planes = jnp.swapaxes(y, 1, 2)                       # (B, H, L, Dh)
+    out = {"bf16": planes}
+    yf = planes.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(yf), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / INT8_MAX
+    out["i8"] = jnp.round(yf / scale).astype(jnp.int8)
+    out["scale"] = scale
+    if pool:
+        nP = _cdiv(L, pool)
+        pad = nP * pool - L
+        yp = jnp.pad(yf, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        counts = jnp.minimum(pool, L - jnp.arange(nP) * pool
+                             ).astype(jnp.float32)
+        out["pooled"] = (jnp.sum(yp.reshape(B, H, nP, pool, Dh), axis=3)
+                         / counts[None, None, :, None])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# smooth-k block map from pooled means
+# ---------------------------------------------------------------------------
+
+def block_map_from_pooled(pooled_q, pooled_k, L: int, pool: int,
+                          topk_ratio: float):
+    """Top-k K-block LUT from pooled means (≡ ops/attention.get_block_map on
+    the full tensors — pooling is linear, so smooth-k before pooling equals
+    mean-subtraction after pooling).
+
+    `pool` is the K-side pooling block; pooled_q may use a different one.
+    Returns (lut (B,H,nQ,topk) int32, topk, k_mean (B,H,1,Dh) fp32)."""
+    nK = pooled_k.shape[2]
+    counts = jnp.minimum(pool, L - jnp.arange(nK) * pool).astype(jnp.float32)
+    k_mean = jnp.sum(pooled_k * counts[None, None, :, None], axis=2,
+                     keepdims=True) / float(L)
+    pkc = pooled_k - k_mean
+    score = jnp.einsum("bhqd,bhkd->bhqk", pooled_q, pkc,
+                       preferred_element_type=jnp.float32)
+    topk = max(1, min(nK, int(topk_ratio * nK)))
+    _, lut = jax.lax.top_k(score, topk)
+    return lut.astype(jnp.int32), topk, k_mean
+
+
+# ---------------------------------------------------------------------------
+# smooth-k subtract + quantize (K path)
+# ---------------------------------------------------------------------------
+
+def _subquant_kernel(x_ref, mu_ref, i8_ref, sc_ref):
+    xf = x_ref[0].astype(jnp.float32) - mu_ref[0]
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) * (1.0 / INT8_MAX)
+    i8_ref[0] = jnp.round(xf * (1.0 / scale)).astype(jnp.int8)
+    sc_ref[0] = scale
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def subquant_planes(planes, mu, interpret: bool = False):
+    """(B,H,L,Dh) bf16 planes minus per-(B,H) mean -> int8 + (B,H,L,1)
+    scales, one pass (the SageSLA smooth-k quantization,
+    SLA/core.py:195-199)."""
+    B, H, Lp, Dh = planes.shape
+    x = planes.reshape(B * H, Lp, Dh)
+    m = mu.reshape(B * H, 1, Dh).astype(jnp.float32)
+    TL = min(1024, Lp)
+    assert Lp % TL == 0
+    grid = (B * H, Lp // TL)
+    i8, sc = pl.pallas_call(
+        _subquant_kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, TL, Dh), lambda bh, i: (bh, i, 0)),
+                  pl.BlockSpec((1, 1, Dh), lambda bh, i: (bh, 0, 0))],
+        out_specs=(pl.BlockSpec((1, TL, Dh), lambda bh, i: (bh, i, 0)),
+                   pl.BlockSpec((1, TL, 1), lambda bh, i: (bh, i, 0))),
+        out_shape=(jax.ShapeDtypeStruct((B * H, Lp, Dh), jnp.int8),
+                   jax.ShapeDtypeStruct((B * H, Lp, 1), jnp.float32)),
+        interpret=interpret,
+    )(x, m)
+    return i8.reshape(B, H, Lp, Dh), sc.reshape(B, H, Lp, 1)
+
+
+# ---------------------------------------------------------------------------
+# unfold + per-token quantize (O-projection feed)
+# ---------------------------------------------------------------------------
+
+def _unfold_quant_kernel(x_ref, i8_ref, sc_ref, *, H: int, Dh: int):
+    m = jnp.zeros((x_ref.shape[2], 1), jnp.float32)
+    for h in range(H):
+        yf = x_ref[0, h].astype(jnp.float32)
+        m = jnp.maximum(m, jnp.max(jnp.abs(yf), axis=-1, keepdims=True))
+    scale = jnp.maximum(m, 1e-8) * (1.0 / INT8_MAX)
+    inv = 1.0 / scale
+    for h in range(H):
+        yf = x_ref[0, h].astype(jnp.float32)
+        i8_ref[0, :, h * Dh:(h + 1) * Dh] = jnp.round(yf * inv
+                                                      ).astype(jnp.int8)
+    sc_ref[0] = scale
+
+
+@functools.partial(jax.jit, static_argnames=("out_len", "interpret"))
+def unfold_quant(planes, out_len: int, interpret: bool = False):
+    """(B,H,Lp,Dh) head-planes -> ((B,L,H*Dh) int8, (B,L,1) fp32) per-token
+    quantized, ready for the W8A8 O-projection."""
+    B, H, Lp, Dh = planes.shape
+    TL = min(512, Lp)
+    assert Lp % TL == 0
+    grid = (B, Lp // TL)
+    i8, sc = pl.pallas_call(
+        functools.partial(_unfold_quant_kernel, H=H, Dh=Dh),
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, H, TL, Dh), lambda b, i: (b, 0, i, 0))],
+        out_specs=(pl.BlockSpec((1, TL, H * Dh), lambda b, i: (b, i, 0)),
+                   pl.BlockSpec((1, TL, 1), lambda b, i: (b, i, 0))),
+        out_shape=(jax.ShapeDtypeStruct((B, Lp, H * Dh), jnp.int8),
+                   jax.ShapeDtypeStruct((B, Lp, 1), jnp.float32)),
+        interpret=interpret,
+    )(planes)
+    return i8[:, :out_len], sc[:, :out_len]
+
+
+def unfold_planes(planes, out_len: int):
+    """Plain bf16 unfold for the unquantized O projection."""
+    B, H, Lp, Dh = planes.shape
+    return jnp.swapaxes(planes, 1, 2).reshape(B, Lp, H * Dh)[:, :out_len]
