@@ -65,9 +65,14 @@ def test_quantize_wan_blocks_skips_proj_l():
                                                     block_q=8, block_k=8))
     params = init_wan_params(jax.random.PRNGKey(0), cfg)
     blocks = quantize_wan_blocks(params["blocks"], mode="postscale")
-    assert "w_int8" in blocks["self_attn"]["q"]
+    assert "w_int8" in blocks["self_attn"]["qkv"]  # fused QKV by default
+    assert "q" not in blocks["self_attn"]
     assert "w_int8" in blocks["ffn"]["fc1"]
     assert "w" in blocks["self_attn"]["proj_l"]  # untouched
+
+    unfused = quantize_wan_blocks(params["blocks"], mode="postscale",
+                                  fuse_qkv=False)
+    assert "w_int8" in unfused["self_attn"]["q"]  # checkpoint-export layout
 
 
 def test_quantized_wan_forward_close_to_float():

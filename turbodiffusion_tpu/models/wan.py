@@ -68,19 +68,34 @@ def _self_attention(p, x, rope_cs, cfg: WanConfig):
     B, Lx, D = x.shape
     H, Dh = cfg.num_heads, cfg.head_dim
     cosF, sinF = rope_cs
+    fused_sla = _use_fused_sla(p, cfg)
 
-    q_proj = linear_maybe_quant(p["q"], x)
-    k_proj = linear_maybe_quant(p["k"], x)
-    v_proj = linear_maybe_quant(p["v"], x)
+    if "qkv" in p:
+        # fused-QKV GEMM (one activation quantization, one MXU launch);
+        # the fused SLA path reads the three column groups via BlockSpec
+        # offsets — no split copies
+        qkv = linear_maybe_quant(p["qkv"], x)
+        if not fused_sla:
+            q_proj, k_proj, v_proj = jnp.split(qkv, 3, axis=-1)
+    else:
+        q_proj = linear_maybe_quant(p["q"], x)
+        k_proj = linear_maybe_quant(p["k"], x)
+        v_proj = linear_maybe_quant(p["v"], x)
 
-    if _use_fused_sla(p, cfg):
+    if fused_sla:
         from turbodiffusion_tpu.ops.attention import sla_attention_fused
         from turbodiffusion_tpu.ops.sla_fused import (
             unfold_planes, unfold_quant)
-        o_planes = sla_attention_fused(
-            q_proj, k_proj, v_proj, p["norm_q"]["scale"],
-            p["norm_k"]["scale"], rope_cs, p.get("proj_l"), cfg.attention,
-            num_heads=H, eps=cfg.eps)
+        if "qkv" in p:
+            o_planes = sla_attention_fused(
+                qkv, None, None, p["norm_q"]["scale"],
+                p["norm_k"]["scale"], rope_cs, p.get("proj_l"),
+                cfg.attention, num_heads=H, eps=cfg.eps, qkv_fused=True)
+        else:
+            o_planes = sla_attention_fused(
+                q_proj, k_proj, v_proj, p["norm_q"]["scale"],
+                p["norm_k"]["scale"], rope_cs, p.get("proj_l"),
+                cfg.attention, num_heads=H, eps=cfg.eps)
         if "w_int8" in p["o"] and p["o"]["scale"].ndim == 1:
             from turbodiffusion_tpu.ops.quant import int8_linear_prequant
             xq, rs = unfold_quant(o_planes, Lx)
@@ -130,8 +145,11 @@ def _cross_attention(p, x, context, cfg: WanConfig, img_context=None):
 
 
 def _ffn(p, x):
-    """Linear -> GELU(tanh) -> Linear (wan2pt1.py:364)."""
-    return linear_maybe_quant(p["fc2"], L.gelu_tanh(linear_maybe_quant(p["fc1"], x)))
+    """Linear -> GELU(tanh) -> Linear (wan2pt1.py:364); the gelu rides the
+    fc1 GEMM epilogue on the quantized path."""
+    return linear_maybe_quant(p["fc2"],
+                              linear_maybe_quant(p["fc1"], x,
+                                                 act="gelu_tanh"))
 
 
 def wan_block(p, x, e0_B6D, rope_cs, context, cfg: WanConfig,

@@ -209,7 +209,8 @@ def sla_attention(q, k, v, proj_l, cfg: AttentionConfig,
 
 def sla_attention_fused(q_proj, k_proj, v_proj, norm_q_w, norm_k_w, rope_cs,
                         proj_l, cfg: AttentionConfig, *, num_heads: int,
-                        eps: float = 1e-6, interpret: bool = False):
+                        eps: float = 1e-6, qkv_fused: bool = False,
+                        interpret: bool = False):
     """Fully-fused SageSLA from raw QKV projection outputs (B, L, H*Dh).
 
     Collapses RMSNorm-QK, RoPE, the fold transpose, block-map pooling,
@@ -217,6 +218,9 @@ def sla_attention_fused(q_proj, k_proj, v_proj, norm_q_w, norm_k_w, rope_cs,
     (ops/sla_fused.py). Returns (B, H, Lp, Dh) bf16 planes — feed
     `unfold_quant`/`unfold_planes` into the O projection. Inference path
     (no VJP); training and non-TPU use `sla_attention`.
+
+    qkv_fused: q_proj is a single (B, L, 3*H*Dh) fused-QKV GEMM output
+    (k_proj/v_proj ignored); the Q/K/V splits ride BlockSpec column offsets.
     """
     from turbodiffusion_tpu.ops.flash_pallas import sparse_attention_i8_planes
     from turbodiffusion_tpu.ops.linear_attention_pallas import (
@@ -224,7 +228,8 @@ def sla_attention_fused(q_proj, k_proj, v_proj, norm_q_w, norm_k_w, rope_cs,
     from turbodiffusion_tpu.ops.sla_fused import (
         block_map_from_pooled, head_planes, subquant_planes)
 
-    B, L, HD = q_proj.shape
+    B, L, Wx = q_proj.shape
+    HD = Wx // 3 if qkv_fused else Wx
     H = num_heads
     pad_to = -(-L // 512) * 512
     assert pad_to % cfg.block_q == 0 and pad_to % cfg.block_k == 0
@@ -232,15 +237,22 @@ def sla_attention_fused(q_proj, k_proj, v_proj, norm_q_w, norm_k_w, rope_cs,
     cosP = jnp.pad(cosF, ((0, pad_to - cosF.shape[0]), (0, 0)))
     sinP = jnp.pad(sinF, ((0, pad_to - sinF.shape[0]), (0, 0)))
     lin = cfg.linear_branch
+    if qkv_fused:
+        srcs = ((q_proj, 0), (q_proj, 1), (q_proj, 2))
+    else:
+        srcs = ((q_proj, 0), (k_proj, 0), (v_proj, 0))
 
-    Q = head_planes(q_proj, norm_q_w, cosP, sinP, num_heads=H, eps=eps,
+    Q = head_planes(srcs[0][0], norm_q_w, cosP, sinP, num_heads=H, eps=eps,
                     pool=cfg.block_q, quant=True, bf16_out=lin,
-                    pad_to=pad_to, interpret=interpret)
-    K = head_planes(k_proj, norm_k_w, cosP, sinP, num_heads=H, eps=eps,
+                    pad_to=pad_to, width=HD, col_block=srcs[0][1],
+                    interpret=interpret)
+    K = head_planes(srcs[1][0], norm_k_w, cosP, sinP, num_heads=H, eps=eps,
                     pool=cfg.block_k, quant=False, bf16_out=True,
-                    pad_to=pad_to, interpret=interpret)
-    V = head_planes(v_proj, num_heads=H, pool=0, quant=True, bf16_out=lin,
-                    pad_to=pad_to, interpret=interpret)
+                    pad_to=pad_to, width=HD, col_block=srcs[1][1],
+                    interpret=interpret)
+    V = head_planes(srcs[2][0], num_heads=H, pool=0, quant=True,
+                    bf16_out=lin, pad_to=pad_to, width=HD,
+                    col_block=srcs[2][1], interpret=interpret)
 
     lut, _, k_mean = block_map_from_pooled(
         Q["pooled"], K["pooled"], L, cfg.block_k, cfg.sla_topk)

@@ -378,28 +378,59 @@ def int8_linear_block(x, w_int8, scale, bias=None, block: int = QBLOCK):
 # Dispatch + param converters
 # ---------------------------------------------------------------------------
 
-def linear_maybe_quant(p, x):
-    """Apply a linear whose params may be float, block-quant, or postscale."""
+def linear_maybe_quant(p, x, act: Optional[str] = None):
+    """Apply a linear whose params may be float, block-quant, or postscale.
+    act="gelu_tanh" fuses the activation into the GEMM epilogue on the
+    postscale path (a standalone gelu over the FFN hidden is a ~1.2GB HBM
+    round trip at 480p)."""
     if "w" in p:
         y = jnp.matmul(x, p["w"].astype(x.dtype))
         if p.get("b") is not None:
             y = y + p["b"].astype(y.dtype)
-        return y
+        return jax.nn.gelu(y, approximate=True) if act == "gelu_tanh" else y
     b = p.get("b")
     if p["scale"].ndim == 1:
-        return int8_linear_postscale(x, p["w_int8"], p["scale"], bias=b)
-    return int8_linear_block(x, p["w_int8"], p["scale"], bias=b)
+        return int8_linear_postscale(x, p["w_int8"], p["scale"], bias=b,
+                                     act=act)
+    y = int8_linear_block(x, p["w_int8"], p["scale"], bias=b)
+    return jax.nn.gelu(y, approximate=True) if act == "gelu_tanh" else y
 
 
-def quantize_wan_blocks(blocks, mode: str = "block"):
+def fuse_linear_params(parts):
+    """Concatenate postscale-quantized (or float) linears sharing one input
+    into a single wide linear (≡ TileLang QKV fusion,
+    tilelang_w8a8.py:229-258). Works on scan-stacked params."""
+    first = parts[0]
+    if "w" in first:
+        out = {"w": jnp.concatenate([p["w"] for p in parts], axis=-1)}
+        if first.get("b") is not None:
+            out["b"] = jnp.concatenate([p["b"] for p in parts], axis=-1)
+        return out
+    assert first["scale"].ndim in (1, 2), "fusion needs postscale layout"
+    out = {"w_int8": jnp.concatenate([p["w_int8"] for p in parts], axis=-1),
+           "scale": jnp.concatenate([p["scale"] for p in parts], axis=-1)}
+    if first.get("b") is not None:
+        out["b"] = jnp.concatenate([p["b"] for p in parts], axis=-1)
+    return out
+
+
+def quantize_wan_blocks(blocks, mode: str = "block", fuse_qkv: bool = True):
     """Quantize every Linear inside the transformer blocks, skipping the SLA
     `proj_l` compensation projection — mirrors replace_linear_norm's
-    skip_layer='proj_l' rule (inference/modify_model.py:56-81)."""
+    skip_layer='proj_l' rule (inference/modify_model.py:56-81).
+
+    fuse_qkv (postscale mode): self-attention Q/K/V collapse into one wide
+    GEMM sharing a single activation quantization; the model reads the
+    fused output via BlockSpec column offsets (zero-copy split)."""
     out = jax.tree.map(lambda x: x, blocks)  # shallow copy
     for attn in ("self_attn", "cross_attn"):
         for name in ("q", "k", "v", "o", "k_img", "v_img"):
             if name in out[attn]:
                 out[attn][name] = quantize_linear_params(out[attn][name], mode)
+    if fuse_qkv and mode == "postscale":
+        sa = out["self_attn"]
+        sa["qkv"] = fuse_linear_params([sa.pop("q"), sa.pop("k"),
+                                        sa.pop("v")])
     for name in ("fc1", "fc2"):
         out["ffn"][name] = quantize_linear_params(out["ffn"][name], mode)
     return out

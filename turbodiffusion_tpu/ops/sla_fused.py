@@ -99,11 +99,12 @@ def _head_planes_kernel(refs, *, H: int, Dh: int, eps: float, L: int,
 
 @functools.partial(
     jax.jit, static_argnames=("num_heads", "eps", "pool", "quant", "bf16_out",
-                              "pad_to", "interpret"))
+                              "pad_to", "width", "col_block", "interpret"))
 def head_planes(x, weight=None, cos_full=None, sin_full=None, *,
                 num_heads: int, eps: float = 1e-6, pool: int = 0,
                 quant: bool = False, bf16_out: bool = True,
-                pad_to: Optional[int] = None, interpret: bool = False):
+                pad_to: Optional[int] = None, width: Optional[int] = None,
+                col_block: int = 0, interpret: bool = False):
     """One-pass head-plane transform of a (B, L, H*Dh) projection output.
 
     Returns a dict with keys among:
@@ -115,8 +116,13 @@ def head_planes(x, weight=None, cos_full=None, sin_full=None, *,
     Rows in [L, Lp) are unwritten garbage — consumers mask them (the sparse
     kernel's poison bias; the unfold's length slice). weight => fused
     full-dim RMSNorm; cos/sin (Lp, Dh) => fused rotate-half RoPE.
+
+    width/col_block: read columns [col_block*width, (col_block+1)*width) of a
+    wider input (e.g. a fused QKV GEMM output) — the slice happens in the
+    BlockSpec index map, i.e. for free in the DMA.
     """
-    B, L, HD = x.shape
+    B, L, Wx = x.shape
+    HD = width or Wx
     H = num_heads
     Dh = HD // H
     Lp = pad_to or L
@@ -130,7 +136,8 @@ def head_planes(x, weight=None, cos_full=None, sin_full=None, *,
     do_rope = cos_full is not None
     grid = (B, Lp // TL)
 
-    in_specs = [pl.BlockSpec((1, TL, HD), lambda b, i: (b, i, 0))]
+    in_specs = [pl.BlockSpec((1, TL, HD),
+                             lambda b, i, c=col_block: (b, i, c))]
     args = [x]
     if do_norm:
         in_specs.append(pl.BlockSpec((1, HD), lambda b, i: (0, 0)))
@@ -152,10 +159,12 @@ def head_planes(x, weight=None, cos_full=None, sin_full=None, *,
         out_shapes.append(jax.ShapeDtypeStruct((B, H, Lp, 1), jnp.float32))
         keys.append("scale")
     if pool:
-        nP = _cdiv(L, pool)
+        # allocate to the padded block count — a tail block straddling nP
+        # would otherwise be dropped at the write; sliced to nP below
         out_specs.append(pl.BlockSpec((1, TL // pool, H, Dh),
                                       lambda b, i: (b, i, 0, 0)))
-        out_shapes.append(jax.ShapeDtypeStruct((B, nP, H, Dh), jnp.float32))
+        out_shapes.append(jax.ShapeDtypeStruct((B, Lp // pool, H, Dh),
+                                               jnp.float32))
         keys.append("pooled")
 
     kernel = functools.partial(
@@ -175,7 +184,8 @@ def head_planes(x, weight=None, cos_full=None, sin_full=None, *,
     result = dict(zip(keys, outs))
     if pool:
         # expose pooled in (B, H, nP, Dh); the transpose is tiny (nP ~ L/256)
-        result["pooled"] = jnp.swapaxes(result["pooled"], 1, 2)
+        nP = _cdiv(L, pool)
+        result["pooled"] = jnp.swapaxes(result["pooled"][:, :nP], 1, 2)
     return result
 
 

@@ -55,8 +55,11 @@ def cmd_quantize(args):
     sd = strip_prefix(load_torch_state_dict(args.input_path))
     params = wan_params_from_state_dict(sd, cfg)
     if args.quant_linear:
+        # exported checkpoints keep the reference's per-linear Int8Linear
+        # layout (ops/core.py:400-403) — no runtime QKV fusion on disk
         params["blocks"] = quantize_wan_blocks(params["blocks"],
-                                               mode=args.mode)
+                                               mode=args.mode,
+                                               fuse_qkv=False)
     out = wan_state_dict_from_params(params, cfg)
     _save_state_dict(out, args.output_path)
     print(f"wrote {args.output_path} ({len(out)} tensors)")
