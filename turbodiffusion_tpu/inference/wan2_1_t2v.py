@@ -50,7 +50,19 @@ def parse_arguments() -> argparse.Namespace:
                    help="Launch interactive TUI server mode")
     p.add_argument("--random_weights", action="store_true",
                    help="Run with random weights (no checkpoints; smoke/bench)")
+    p.add_argument("--mesh", type=str, default=None, metavar="DP,FSDP,CP",
+                   help="Multi-chip mesh, e.g. 1,4,2: params FSDP-sharded, "
+                        "sequence context-sharded (needed for 14B models)")
     return p.parse_args()
+
+
+def parse_mesh(spec):
+    """'dp,fsdp,cp' -> MeshConfig | None."""
+    if not spec:
+        return None
+    from turbodiffusion_tpu.config import MeshConfig
+    dp, fsdp, cp = (int(x) for x in spec.split(","))
+    return MeshConfig(data=dp, fsdp=fsdp, context=cp)
 
 
 def main():
@@ -77,7 +89,8 @@ def main():
         model=args.model, dit_path=args.dit_path, vae_path=args.vae_path,
         text_encoder_path=args.text_encoder_path,
         attention_type=args.attention_type, sla_topk=args.sla_topk,
-        quant_linear=args.quant_linear, seed=args.seed)
+        quant_linear=args.quant_linear, seed=args.seed,
+        mesh_config=parse_mesh(args.mesh))
 
     gen = GenerationConfig(
         num_steps=args.num_steps, sigma_max=args.sigma_max,

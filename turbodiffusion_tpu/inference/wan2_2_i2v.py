@@ -46,6 +46,9 @@ def parse_arguments() -> argparse.Namespace:
     p.add_argument("--default_norm", action="store_true")
     p.add_argument("--serve", action="store_true")
     p.add_argument("--random_weights", action="store_true")
+    p.add_argument("--mesh", type=str, default=None, metavar="DP,FSDP,CP",
+                   help="Multi-chip mesh, e.g. 1,4,2: both A14B experts stay "
+                        "resident FSDP-sharded across the slice")
     return p.parse_args()
 
 
@@ -67,6 +70,7 @@ def main():
                          "(or pass --random_weights)")
 
     from turbodiffusion_tpu.config import GenerationConfig
+    from turbodiffusion_tpu.inference.wan2_1_t2v import parse_mesh
     from turbodiffusion_tpu.pipelines.pipeline import WanPipeline
     from turbodiffusion_tpu.utils.video_io import load_image, save_video
 
@@ -76,7 +80,8 @@ def main():
         low_noise_path=args.low_noise_model_path,
         vae_path=args.vae_path, text_encoder_path=args.text_encoder_path,
         attention_type=args.attention_type, sla_topk=args.sla_topk,
-        quant_linear=args.quant_linear, seed=args.seed)
+        quant_linear=args.quant_linear, seed=args.seed,
+        mesh_config=parse_mesh(args.mesh))
     if args.model == "test":
         # test preset is t2v by default; switch to wan2.2-style i2v
         from turbodiffusion_tpu.config import wan_test_config

@@ -62,15 +62,28 @@ def _filter_spec(mesh: Mesh, spec: Sequence) -> P:
     return P(*out)
 
 
+_warned_skips = set()
+
+
 def constrain(x, spec: Sequence):
     """with_sharding_constraint if a mesh is active; no-op otherwise."""
     mesh = get_mesh()
     if mesh is None or all(s == 1 for s in mesh.shape.values()):
         return x
     p = _filter_spec(mesh, spec)
-    # Skip if any sharded dim isn't divisible by its axis size.
+    # Skip if any sharded dim isn't divisible by its axis size — but say so
+    # once per shape: a silent skip silently loses parallelism.
     for dim, axis in enumerate(p):
         if axis is not None and x.shape[dim] % mesh.shape[axis] != 0:
+            key = (x.shape, tuple(p))
+            if key not in _warned_skips:
+                _warned_skips.add(key)
+                import logging
+                logging.getLogger(__name__).warning(
+                    "sharding constraint %s skipped for shape %s: dim %d "
+                    "(%d) not divisible by mesh axis %r (%d) — tensor stays "
+                    "unsharded", tuple(p), x.shape, dim, x.shape[dim], axis,
+                    mesh.shape[axis])
             return x
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, p))
 

@@ -66,9 +66,17 @@ def load_dit(dit_path: Optional[str], cfg: WanConfig, seed: int = 0):
     else:
         sd = strip_prefix(load_torch_state_dict(dit_path))
         params = wan_params_from_state_dict(sd, cfg)
-    if cfg.quant_linear and "w_int8" not in params["blocks"]["self_attn"]["q"]:
-        params["blocks"] = quantize_wan_blocks(params["blocks"],
-                                               mode="postscale")
+    sa = params["blocks"]["self_attn"]
+    if cfg.quant_linear:
+        if "qkv" not in sa and "w_int8" not in sa["q"]:
+            params["blocks"] = quantize_wan_blocks(params["blocks"],
+                                                   mode="postscale")
+        elif ("qkv" not in sa and "w_int8" in sa["q"]
+              and sa["q"]["scale"].ndim == 1):
+            # pre-quantized (checkpoint) postscale linears: fuse QKV at load
+            from turbodiffusion_tpu.ops.quant import fuse_linear_params
+            sa["qkv"] = fuse_linear_params([sa.pop("q"), sa.pop("k"),
+                                            sa.pop("v")])
     proj_l = params["blocks"]["self_attn"].get("proj_l")
     if proj_l is not None and cfg.attention.backend in ("sla", "sagesla"):
         zero = (float(_np.abs(_np.asarray(proj_l["w"])).max()) == 0.0 and
@@ -103,9 +111,22 @@ class TextEncoder:
         self.load()
         try:
             ids, mask = tokenize(prompts, self.cfg.text_len)
-        except Exception:
-            # zero-egress fallback: hash-tokenize so checkpoint-free smoke
-            # runs still produce deterministic embeddings per prompt
+        except Exception as e:
+            # Hash-tokenizer fallback: deterministic ids for checkpoint-free
+            # smoke runs. On a REAL run (umT5 weights loaded) this would be a
+            # silent quality disaster, so it is loud and opt-in there.
+            import logging
+            import os
+            real_weights = self.checkpoint_path is not None
+            if real_weights and os.environ.get(
+                    "TDX_ALLOW_HASH_TOKENIZER") != "1":
+                raise RuntimeError(
+                    "umT5 tokenizer unavailable but real encoder weights are "
+                    "loaded — refusing the hash-tokenizer fallback (set "
+                    "TDX_ALLOW_HASH_TOKENIZER=1 to force)") from e
+            logging.getLogger(__name__).warning(
+                "umT5 tokenizer unavailable (%s); using the HASH tokenizer "
+                "fallback — embeddings are NOT meaningful text encodings", e)
             if isinstance(prompts, str):
                 prompts = [prompts]
             ids = np.zeros((len(prompts), self.cfg.text_len), np.int32)
@@ -124,7 +145,15 @@ class TextEncoder:
 
 @dataclass(eq=False)
 class WanPipeline:
-    """Resident T2V/I2V pipeline (serve/pipeline.py analog)."""
+    """Resident T2V/I2V pipeline (serve/pipeline.py analog).
+
+    Multi-chip: pass a MeshConfig to `create` — DiT parameters are
+    FSDP-sharded over the 'fsdp' axis, the token sequence over 'context'
+    (flattened CP + Ulysses inside the model), and samples over 'data'.
+    This is how Wan2.1-14B / Wan2.2-A14B (28/56 GB bf16) run at all: the
+    reference offloads experts to host RAM instead
+    (wan2.2_i2v_infer.py:91-94,187-197); on TPU both experts stay resident,
+    sharded across the slice."""
 
     cfg: WanConfig
     params: Any
@@ -132,6 +161,7 @@ class WanPipeline:
     text_encoder: TextEncoder
     params_low: Any = None      # I2V low-noise expert (Wan2.2 two-expert)
     vae_cfg: VAEConfig = VAEConfig()
+    mesh: Any = None
 
     # ------------------------------------------------------------------
     @classmethod
@@ -140,7 +170,8 @@ class WanPipeline:
                vae_path: Optional[str] = None,
                text_encoder_path: Optional[str] = None,
                attention_type: str = "sagesla", sla_topk: float = 0.1,
-               quant_linear: bool = False, seed: int = 0):
+               quant_linear: bool = False, seed: int = 0,
+               mesh_config=None):
         cfg = make_wan_cfg(model, attention_type, sla_topk, quant_linear)
         params, cfg = load_dit(dit_path, cfg, seed)
         params_low = (load_dit(low_noise_path, cfg, seed + 1)[0]
@@ -161,14 +192,35 @@ class WanPipeline:
                                          _VC(dim=16, dtype=_jnp.float32))
         else:
             te = TextEncoder(text_encoder_path)
+
+        mesh = None
+        if mesh_config is not None:
+            from turbodiffusion_tpu.parallel.sharding import (
+                make_mesh, shard_params)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            mesh = make_mesh(mesh_config)
+            params = shard_params(params, mesh)
+            if params_low is not None:
+                params_low = shard_params(params_low, mesh)
+            # VAE is small — replicate
+            rep = NamedSharding(mesh, P())
+            vae_params = jax.tree.map(
+                lambda x: jax.device_put(x, rep), vae_params)
         return cls(cfg=cfg, params=params, vae_params=vae_params,
-                   text_encoder=te, params_low=params_low)
+                   text_encoder=te, params_low=params_low, mesh=mesh)
+
+    def _mesh_scope(self):
+        from turbodiffusion_tpu.parallel.sharding import use_mesh
+        return use_mesh(self.mesh)
 
     # ------------------------------------------------------------------
     def _denoise_latents(self, params_per_step, x, text_emb, t_steps, key,
-                         ode: bool, y=None):
-        """Shared sampling loop; params_per_step[i] picks the expert."""
+                         ode: bool, y=None, collect: bool = False):
+        """Shared sampling loop; params_per_step[i] picks the expert.
+        collect=True additionally returns the latent after every step
+        (parity harness, scripts/parity.py)."""
         cfg = self.cfg
+        steps = []
         for i in range(len(t_steps) - 1):
             t_cur, t_next = t_steps[i], t_steps[i + 1]
             tt = jnp.full((x.shape[0], 1), t_cur * 1000.0, jnp.float32)
@@ -180,7 +232,9 @@ class WanPipeline:
                 key, sub = jax.random.split(key)
                 noise = jax.random.normal(sub, x.shape, jnp.float32)
                 x = (1.0 - t_next) * (x - t_cur * v) + t_next * noise
-        return x
+            if collect:
+                steps.append(x)
+        return (x, steps) if collect else x
 
     @functools.partial(jax.jit, static_argnames=("self", "num_steps",
                                                  "sigma_max", "ode"))
@@ -208,8 +262,10 @@ class WanPipeline:
         noise = jax.random.normal(
             kn, (gen.num_samples, 16, 1 + (gen.num_frames - 1) // 4,
                  h // 8, w // 8), jnp.float32)
-        video = self._t2v_jit(self.params, self.vae_params, text_emb, noise,
-                              ks, gen.num_steps, gen.sigma_max, gen.ode)
+        with self._mesh_scope():
+            video = self._t2v_jit(self.params, self.vae_params, text_emb,
+                                  noise, ks, gen.num_steps, gen.sigma_max,
+                                  gen.ode)
         return np.asarray(video)
 
     # ------------------------------------------------------------------
@@ -279,7 +335,8 @@ class WanPipeline:
         noise = jax.random.normal(
             kn, (gen.num_samples, 16, lat_t, lat_h, lat_w), jnp.float32)
         params_lo = self.params_low if self.params_low is not None else self.params
-        video = self._i2v_jit(self.params, params_lo, self.vae_params,
-                              text_emb, y, noise, ks, gen.num_steps,
-                              gen.sigma_max, gen.ode, gen.boundary)
+        with self._mesh_scope():
+            video = self._i2v_jit(self.params, params_lo, self.vae_params,
+                                  text_emb, y, noise, ks, gen.num_steps,
+                                  gen.sigma_max, gen.ode, gen.boundary)
         return np.asarray(video)
