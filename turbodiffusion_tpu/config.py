@@ -23,6 +23,8 @@ VIDEO_RES_SIZE_INFO: dict[str, dict[str, tuple[int, int]]] = {
     "480": {"1:1": (480, 480), "4:3": (640, 480), "3:4": (480, 640), "16:9": (768, 432), "9:16": (432, 768)},
     "480p": {"1:1": (640, 640), "4:3": (640, 480), "3:4": (480, 640), "16:9": (832, 480), "9:16": (480, 832)},
     "720p": {"1:1": (960, 960), "4:3": (960, 720), "3:4": (720, 960), "16:9": (1280, 720), "9:16": (720, 1280)},
+    # smoke preset for checkpoint-free CLI runs / parity self-tests
+    "tiny": {"1:1": (64, 64), "16:9": (128, 64)},
 }
 
 IMAGE_RES_SIZE_INFO: dict[str, dict[str, tuple[int, int]]] = {
@@ -55,10 +57,13 @@ class AttentionConfig:
     # Feature map for the linear-attention compensation branch
     # (SLA/core.py:65-69; default softmax over head_dim).
     feature_map: str = "softmax"
-    # Force the jnp reference implementations (needed for forward-mode
-    # autodiff through the model: the Pallas kernels carry a custom VJP,
-    # which jax.jvp cannot traverse).
+    # Force the jnp reference implementations (CPU tests / debugging).
     use_reference_impl: bool = False
+    # Forward-mode (jax.jvp) pass: dispatch to the custom_jvp attention
+    # wrappers (ops/flash_jvp_pallas.py) whose tangent rule is a fused
+    # one-pass Pallas kernel — the reverse-mode kernels' custom VJP is
+    # opaque to jvp. Set by the sCM tangent pass (training/distill.py).
+    jvp_mode: bool = False
     # Sparse-only fast path: skip the linear-attention compensation branch
     # when proj_l is known to be all-zero — its contribution is exactly 0
     # (reference: acceleration.py:249-380, TURBOT2AV_SLA_SKIP_ZERO_LINEAR;

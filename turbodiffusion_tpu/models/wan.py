@@ -51,6 +51,7 @@ def _use_fused_sla(p, cfg: WanConfig) -> bool:
     from turbodiffusion_tpu.parallel.ulysses import context_parallel_size
     a = cfg.attention
     return (a.backend == "sagesla" and not a.use_reference_impl
+            and not a.jvp_mode
             and _jax.default_backend() == "tpu"
             and cfg.head_dim % 128 == 0
             and a.block_q >= 128 and a.block_k >= 128
@@ -102,10 +103,12 @@ def _self_attention(p, x, rope_cs, cfg: WanConfig):
             return int8_linear_prequant(xq, rs, p["o"])
         return linear_maybe_quant(p["o"], unfold_planes(o_planes, Lx))
 
-    q = rmsnorm_rope(q_proj, p["norm_q"]["scale"],
-                     cosF, sinF, num_heads=H, eps=cfg.eps)
-    k = rmsnorm_rope(k_proj, p["norm_k"]["scale"],
-                     cosF, sinF, num_heads=H, eps=cfg.eps)
+    q = rmsnorm_rope(q_proj, p["norm_q"]["scale"], cosF, sinF,
+                     num_heads=H, eps=cfg.eps,
+                     force_ref=cfg.attention.jvp_mode)
+    k = rmsnorm_rope(k_proj, p["norm_k"]["scale"], cosF, sinF,
+                     num_heads=H, eps=cfg.eps,
+                     force_ref=cfg.attention.jvp_mode)
     v = v_proj.reshape(B, Lx, H, Dh)
     # Ulysses CP: explicit shard_map + all_to_all when a context axis is
     # active (≡ rcm/utils/a2a_cp.py:43-200); plain dispatch otherwise.
@@ -126,21 +129,24 @@ def _cross_attention(p, x, context, cfg: WanConfig, img_context=None):
     B, Lx, D = x.shape
     H, Dh = cfg.num_heads, cfg.head_dim
     q = rmsnorm_rope(linear_maybe_quant(p["q"], x), p["norm_q"]["scale"],
-                     num_heads=H, eps=cfg.eps)
+                     num_heads=H, eps=cfg.eps,
+                     force_ref=cfg.attention.jvp_mode)
     # K/V over 512 text tokens are tiny; the jnp chain is fine.
     k = L.rms_norm(linear_maybe_quant(p["k"], context), p["norm_k"]["scale"], eps=cfg.eps)
     v = linear_maybe_quant(p["v"], context)
     k = k.reshape(B, -1, H, Dh)
     v = v.reshape(B, -1, H, Dh)
     o = dense_attention(q, k, v,
-                        use_reference_impl=cfg.attention.use_reference_impl)
+                        use_reference_impl=cfg.attention.use_reference_impl,
+                        jvp_mode=cfg.attention.jvp_mode)
     if img_context is not None:
         k_img = L.rms_norm(linear_maybe_quant(p["k_img"], img_context),
                            p["norm_k_img"]["scale"], eps=cfg.eps)
         v_img = linear_maybe_quant(p["v_img"], img_context)
         k_img = k_img.reshape(B, -1, H, Dh)
         v_img = v_img.reshape(B, -1, H, Dh)
-        o = o + dense_attention(q, k_img, v_img)
+        o = o + dense_attention(q, k_img, v_img,
+                                jvp_mode=cfg.attention.jvp_mode)
     return linear_maybe_quant(p["o"], o.reshape(B, Lx, D))
 
 
@@ -162,19 +168,23 @@ def wan_block(p, x, e0_B6D, rope_cs, context, cfg: WanConfig,
     e0, e1, e2, e3, e4, e5 = [e[:, i:i + 1] for i in range(6)]  # each (B,1,D)
 
     y = _self_attention(p["self_attn"],
-                        modulated_layer_norm(x, e1, e0, eps=cfg.eps),
+                        modulated_layer_norm(
+                            x, e1, e0, eps=cfg.eps,
+                            force_ref=cfg.attention.jvp_mode),
                         rope_cs, cfg)
     x = x + y * e2.astype(x.dtype)
 
     if cfg.cross_attn_norm:
         n3 = modulated_layer_norm(x, weight=p["norm3"]["scale"],
-                                  bias=p["norm3"]["bias"], eps=cfg.eps)
+                                  bias=p["norm3"]["bias"], eps=cfg.eps,
+                                  force_ref=cfg.attention.jvp_mode)
     else:
         n3 = x
     x = x + _cross_attention(p["cross_attn"], n3, context, cfg,
                              img_context=img_context)
 
-    y = _ffn(p["ffn"], modulated_layer_norm(x, e4, e3, eps=cfg.eps))
+    y = _ffn(p["ffn"], modulated_layer_norm(
+        x, e4, e3, eps=cfg.eps, force_ref=cfg.attention.jvp_mode))
     x = x + y * e5.astype(x.dtype)
     return x
 
@@ -190,7 +200,18 @@ def wan_head(p, x, e_B_D, cfg: WanConfig):
 
 
 def _img_emb(p, image_embeds):
-    """MLPProj for CLIP image features (wan2pt1.py:457-486)."""
+    """MLPProj for CLIP image features (wan2pt1.py:457-486).
+
+    flf2v: first/last-frame CLIP features arrive as consecutive batch pairs
+    (…, 257, 1280); they are merged to (…, 514, 1280) and offset by the
+    zero-init learned position embedding before the MLP
+    (wan2pt1.py:468-485, FIRST_LAST_FRAME_CONTEXT_TOKEN_NUMBER=514)."""
+    if "emb_pos" in p:
+        b, n, d = image_embeds.shape
+        pos = p["emb_pos"]
+        if n != pos.shape[1]:           # pairs stacked on batch: merge
+            image_embeds = image_embeds.reshape(-1, 2 * n, d)
+        image_embeds = image_embeds + pos.astype(image_embeds.dtype)
     x = L.layer_norm(image_embeds, eps=1e-5, scale=p["norm1"]["scale"],
                      bias=p["norm1"]["bias"])
     x = L.linear(p["fc1"], x)
@@ -375,4 +396,8 @@ def init_wan_params(key, cfg: WanConfig):
             "fc2": _linear_init(next(keys), 1280, D, dtype),
             "norm2": {"scale": jnp.ones((D,), dtype), "bias": jnp.zeros((D,), dtype)},
         }
+        if cfg.model_type == "flf2v":
+            # zero-init first/last-frame position embedding
+            # (wan2pt1.py:469,478: 2*257 CLIP tokens)
+            params["img_emb"]["emb_pos"] = jnp.zeros((1, 514, 1280), dtype)
     return params

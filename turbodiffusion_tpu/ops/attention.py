@@ -161,8 +161,16 @@ def _use_pallas(q, *block_sizes) -> bool:
 
 
 def dense_attention(q, k, v, scale: Optional[float] = None,
-                    use_reference_impl: bool = False):
-    """Dense softmax attention; Pallas flash kernel on TPU, jnp elsewhere."""
+                    use_reference_impl: bool = False,
+                    jvp_mode: bool = False):
+    """Dense softmax attention; Pallas flash kernel on TPU, jnp elsewhere.
+
+    jvp_mode routes through the forward-mode-differentiable wrapper whose
+    tangent rule is the fused one-pass JVP kernel (sCM distillation;
+    reference contract rcm/utils/flash_attention_jvp_triton.py:16-45)."""
+    if jvp_mode and not use_reference_impl:
+        from turbodiffusion_tpu.ops.flash_jvp_pallas import flash_attention_jvp
+        return flash_attention_jvp(q, k, v, scale=scale)
     if not use_reference_impl and _use_pallas(q):
         from turbodiffusion_tpu.ops.flash_pallas import flash_attention
         return flash_attention(q, k, v, scale=scale)
@@ -179,6 +187,20 @@ def sla_attention(q, k, v, proj_l, cfg: AttentionConfig,
     kernel (SageAttention-style), matching the reference's SpargeAttn path.
     """
     _, lut, topk = get_block_map(q, k, cfg.sla_topk, cfg.block_q, cfg.block_k)
+    if cfg.jvp_mode and not cfg.use_reference_impl:
+        # Forward-mode pass (sCM tangents): sparse custom_jvp wrapper (the
+        # tangent gathers only LUT-selected blocks) + the jnp linear branch
+        # (pure jnp — forward-differentiable as-is). Quantization is off in
+        # the tangent pass, matching the reference JVP kernel.
+        from turbodiffusion_tpu.ops.flash_jvp_pallas import (
+            sparse_attention_jvp)
+        o_s = sparse_attention_jvp(q, k, v, lut, cfg.block_q, cfg.block_k)
+        if not cfg.linear_branch:
+            return o_s
+        o_l = linear_attention(q, k, v, cfg.feature_map)
+        w = proj_l["w"].astype(q.dtype)
+        b = proj_l["b"].astype(q.dtype)
+        return (o_s + jnp.matmul(o_l.astype(q.dtype), w) + b).astype(q.dtype)
     if not cfg.use_reference_impl and _use_pallas(q, cfg.block_q, cfg.block_k):
         from turbodiffusion_tpu.ops.flash_pallas import flash_attention
         o_s = flash_attention(q, k, v, lut=lut, block_q=cfg.block_q,
@@ -271,7 +293,9 @@ def sla_attention_fused(q_proj, k_proj, v_proj, norm_q_w, norm_k_w, rope_cs,
 def attention(q, k, v, cfg: AttentionConfig, proj_l=None):
     """Backend dispatch mirroring --attention_type (wan2.1_t2v_infer.py:51)."""
     if cfg.backend == "dense":
-        return dense_attention(q, k, v, use_reference_impl=cfg.use_reference_impl)
+        return dense_attention(q, k, v,
+                               use_reference_impl=cfg.use_reference_impl,
+                               jvp_mode=cfg.jvp_mode)
     if cfg.backend == "sla":
         return sla_attention(q, k, v, proj_l, cfg, int8_qk=False)
     if cfg.backend == "sagesla":

@@ -134,11 +134,13 @@ def _mln_pallas(x, ms, mb, w, b, eps: float, interpret: bool = False,
 
 def modulated_layer_norm(x, mod_scale=None, mod_shift=None, weight=None,
                          bias=None, eps: float = 1e-6,
-                         interpret: bool = False):
-    """Fused LN(+affine)(+AdaLN modulate). Pallas on TPU, jnp elsewhere."""
+                         interpret: bool = False, force_ref: bool = False):
+    """Fused LN(+affine)(+AdaLN modulate). Pallas on TPU, jnp elsewhere.
+    force_ref: forward-mode (jax.jvp) passes must use the jnp chain — the
+    generic Pallas JVP rule does not cover this kernel."""
     D = x.shape[-1]
     on_tpu = jax.default_backend() == "tpu" or interpret
-    if not on_tpu or D % 128 != 0:
+    if force_ref or not on_tpu or D % 128 != 0:
         return modulated_layer_norm_ref(x, mod_scale, mod_shift, weight,
                                         bias, eps)
     ms = None if mod_scale is None else \
@@ -245,14 +247,17 @@ def _rmsrope_pallas(x, w, cos_full, sin_full, eps: float, num_heads: int,
 
 
 def rmsnorm_rope(x, weight, cos_full=None, sin_full=None, *, num_heads: int,
-                 eps: float = 1e-5, interpret: bool = False):
+                 eps: float = 1e-5, interpret: bool = False,
+                 force_ref: bool = False):
     """Fused RMSNorm-QK (+rotate-half RoPE). x: (B, L, H*Dh) projection
     output; returns (B, L, H, Dh). cos/sin_full from `rope_cos_sin_full`
-    (None => norm only, e.g. cross-attention K)."""
+    (None => norm only, e.g. cross-attention K).
+    force_ref: forward-mode (jax.jvp) passes must use the jnp chain —
+    `pltpu.roll` in the kernel has no differentiation rule."""
     B, L, HD = x.shape
     Dh = HD // num_heads
     on_tpu = jax.default_backend() == "tpu" or interpret
-    if not on_tpu or Dh % 128 != 0:
+    if force_ref or not on_tpu or Dh % 128 != 0:
         if cos_full is None:
             from turbodiffusion_tpu.models.layers import rms_norm
             return rms_norm(x, weight, eps=eps).reshape(B, L, num_heads, Dh)

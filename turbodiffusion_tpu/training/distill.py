@@ -80,11 +80,15 @@ def student_F_and_tangent(params, cfg: WanConfig, xt, t_xt, trig_t_B1,
                           t_trig_t_B1, cond, dcfg: DistillConfig):
     """student_F_withT (t2v_model_distill_rcm.py:422-476) via jax.jvp.
 
-    Forward-mode AD cannot traverse the Pallas kernels' custom VJP, so the
-    tangent pass runs the model with the jnp reference attention (the
-    reference needed a whole twin network + Triton JVP kernel here)."""
+    The tangent pass runs the model in jvp_mode: attention dispatches to
+    custom_jvp wrappers whose tangent rule is the fused one-pass Pallas JVP
+    kernel (ops/flash_jvp_pallas.py) — the TPU analog of the reference's
+    618-line Triton JVP kernel + twin JVP network
+    (rcm/utils/flash_attention_jvp_triton.py, rcm/networks/wan2pt1_jvp.py).
+    Both t_F and the params entering here are stop-gradient'd, so no VJP
+    through this pass is ever needed."""
     jvp_cfg = cfg.replace(attention=dataclasses.replace(
-        cfg.attention, use_reference_impl=True))
+        cfg.attention, jvp_mode=True))
 
     def F_of(xt_, t_):
         _, F = denoise(params, jvp_cfg, xt_, t_, cond, dcfg)
