@@ -53,6 +53,16 @@ def main():
                    help="measure generator-only latency (reference metric)")
     p.add_argument("--warmup", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--gemma_checkpoint", default=None,
+                   help="HF Gemma-3 weights (.safetensors/.pth) for real "
+                        "caption conditioning")
+    p.add_argument("--gemma_tokenizer", default=None,
+                   help="local tokenizer dir (offline AutoTokenizer)")
+    p.add_argument("--use_gemma", action="store_true",
+                   help="run the Gemma conditioning stack even without "
+                        "weights (random init; smoke-tests the pipeline)")
+    p.add_argument("--gemma_layers", type=int, default=None,
+                   help="override Gemma depth (random-init smoke runs)")
     p.add_argument("--decode", action="store_true",
                    help="decode video+audio through the VAEs/vocoder and save "
                         "outputs (run_av_inference_eval.py decode path)")
@@ -91,8 +101,39 @@ def main():
     video = jax.random.normal(kv, (1, lv, cfg.video_in_channels), jnp.float32)
     audio = jax.random.normal(ka, (1, audio_len, cfg.audio_in_channels),
                               jnp.float32)
-    # caption embeddings (Gemma encoder: round-2 component; random here)
-    cap = jax.random.normal(kc, (1, 128, cfg.caption_channels), jnp.bfloat16)
+    if args.gemma_checkpoint or args.use_gemma:
+        # real conditioning stack: tokenize -> Gemma-3 all-hidden-states ->
+        # feature extractor -> embeddings connector (models/gemma.py)
+        from turbodiffusion_tpu.models.gemma import (
+            Gemma3Config, encode_text, gemma_params_from_state_dict,
+            init_connector_params, init_feature_extractor_params,
+            init_gemma_params)
+        gcfg = Gemma3Config(hidden_size=cfg.caption_channels)
+        if args.gemma_layers:
+            import dataclasses as _dc
+            gcfg = _dc.replace(gcfg, num_layers=args.gemma_layers)
+        kg1, kg2, kg3 = jax.random.split(kc, 3)
+        if args.gemma_checkpoint:
+            from turbodiffusion_tpu.utils.checkpoint import (
+                load_torch_state_dict)
+            gp = gemma_params_from_state_dict(
+                load_torch_state_dict(args.gemma_checkpoint), gcfg)
+        else:
+            gp = init_gemma_params(kg1, gcfg)
+        if "feature_extractor" not in gp:
+            gp["feature_extractor"] = init_feature_extractor_params(kg2, gcfg)
+        ch = 30 if gcfg.hidden_size % 30 == 0 else 1   # connector 30x128
+        conn = init_connector_params(kg3, gcfg.hidden_size, heads=ch,
+                                     head_dim=gcfg.hidden_size // ch)
+        cap, _ = encode_text(args.prompt, gp, conn, gcfg,
+                             tokenizer_path=args.gemma_tokenizer,
+                             heads=ch, head_dim=gcfg.hidden_size // ch)
+        cap = cap.astype(jnp.bfloat16)
+        print(f"Gemma conditioning: caption context {cap.shape}")
+    else:
+        # random caption embeddings (checkpoint-free benchmark mode)
+        cap = jax.random.normal(kc, (1, 128, cfg.caption_channels),
+                                jnp.bfloat16)
 
     if args.mode == "student":
         sigmas = trig_student_sigmas(args.num_steps)

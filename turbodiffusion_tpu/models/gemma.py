@@ -100,9 +100,15 @@ def _geglu(p, x):
                       p["down"].astype(x.dtype))
 
 
-def gemma3_encode(params, ids, mask, cfg: Gemma3Config):
+def gemma3_encode(params, ids, mask, cfg: Gemma3Config,
+                  all_hidden_states: bool = False):
     """Causal decoder used as a feature extractor: returns final hidden
-    states (B, L, hidden). mask: (B, L) 1=token 0=pad."""
+    states (B, L, hidden). mask: (B, L) 1=token 0=pad.
+
+    all_hidden_states=True returns the list [embeddings, input to layer 1,
+    …, input to layer N-1, final-normed output] (num_layers + 1 entries) —
+    the HF `output_hidden_states` convention the LTX-2 feature extractor
+    consumes (base_encoder.py:44-52)."""
     B, L = ids.shape
     x = jnp.take(params["embed"], ids, axis=0).astype(cfg.dtype)
     x = x * jnp.asarray(math.sqrt(cfg.hidden_size), cfg.dtype)
@@ -114,7 +120,10 @@ def gemma3_encode(params, ids, mask, cfg: Gemma3Config):
     bias_global = jnp.where(causal[None] & pad_ok, 0.0, -1e30)
     bias_local = jnp.where((causal & window)[None] & pad_ok, 0.0, -1e30)
 
+    hiddens = []
     for i, blk in enumerate(params["blocks"]):
+        if all_hidden_states:
+            hiddens.append(x)
         # every sliding_window_pattern-th layer is global (config.py:33-34)
         is_global = (i + 1) % cfg.sliding_window_pattern == 0
         bias = bias_global if is_global else bias_local
@@ -124,17 +133,107 @@ def gemma3_encode(params, ids, mask, cfg: Gemma3Config):
         h = _rms(x, blk["pre_ffn_norm"], cfg.rms_norm_eps)
         h = _geglu(blk["mlp"], h)
         x = x + _rms(h, blk["post_ffn_norm"], cfg.rms_norm_eps)
-    return _rms(x, params["final_norm"], cfg.rms_norm_eps)
+    out = _rms(x, params["final_norm"], cfg.rms_norm_eps)
+    if all_hidden_states:
+        hiddens.append(out)
+        return hiddens
+    return out
+
+
+def gemma_feature_extract(params, hidden_states, mask,
+                          padding_side: str = "left"):
+    """Multi-layer feature aggregation (base_encoder.py:42-52,158-215):
+    stack all hidden states to (B, T, D, L), per-batch/per-layer masked
+    normalize 8*(x-mean)/range over the valid (T, D) slab, zero padded
+    positions, flatten to (B, T, D*L), project with `aggregate_embed`
+    (feature_extractor.py: D*L -> D, no bias)."""
+    f32 = jnp.float32
+    x = jnp.stack([h.astype(f32) for h in hidden_states], axis=-1)
+    B, T, D, NL = x.shape
+    seq_len = jnp.sum(mask > 0, axis=1)                         # (B,)
+    idx = jnp.arange(T)[None, :]
+    if padding_side == "right":
+        valid = idx < seq_len[:, None]
+    else:
+        valid = idx >= (T - seq_len[:, None])
+    m = valid[:, :, None, None]                                 # (B,T,1,1)
+    eps = 1e-6
+    masked = jnp.where(m, x, 0.0)
+    denom = (seq_len.astype(f32) * D).reshape(B, 1, 1, 1)
+    mean = jnp.sum(masked, axis=(1, 2), keepdims=True) / (denom + eps)
+    x_min = jnp.min(jnp.where(m, x, jnp.inf), axis=(1, 2), keepdims=True)
+    x_max = jnp.max(jnp.where(m, x, -jnp.inf), axis=(1, 2), keepdims=True)
+    normed = 8.0 * (x - mean) / (x_max - x_min + eps)
+    normed = jnp.where(m, normed, 0.0).reshape(B, T, D * NL)
+    w = params["aggregate_embed"]                               # (D*L, D)
+    return jnp.matmul(normed.astype(w.dtype), w)
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer (gemma/tokenizer.py: AutoTokenizer, left padding, pad=eos)
+# ---------------------------------------------------------------------------
+
+def gemma_tokenize(prompts, tokenizer_path: Optional[str],
+                   max_length: int = 256):
+    """Returns (ids, mask) int32 (B, max_length), left-padded.
+
+    tokenizer_path=None falls back to a deterministic hash tokenizer for
+    checkpoint-free smoke runs (loud; NOT meaningful text encoding)."""
+    if isinstance(prompts, str):
+        prompts = [prompts]
+    if tokenizer_path is not None:
+        from transformers import AutoTokenizer
+        tok = AutoTokenizer.from_pretrained(tokenizer_path,
+                                            local_files_only=True,
+                                            model_max_length=max_length)
+        tok.padding_side = "left"
+        if tok.pad_token is None:
+            tok.pad_token = tok.eos_token
+        enc = tok([p.strip() for p in prompts], padding="max_length",
+                  max_length=max_length, truncation=True, return_tensors="np")
+        return (enc["input_ids"].astype(np.int32),
+                enc["attention_mask"].astype(np.int32))
+    import logging
+    logging.getLogger(__name__).warning(
+        "no Gemma tokenizer path; using the HASH tokenizer fallback — "
+        "embeddings are NOT meaningful text encodings")
+    ids = np.zeros((len(prompts), max_length), np.int32)
+    mask = np.zeros((len(prompts), max_length), np.int32)
+    for b, prompt in enumerate(prompts):
+        words = prompt.strip().split()[:max_length]
+        toks = [hash(w) % 60000 + 3 for w in words]
+        ids[b, max_length - len(toks):] = toks                  # left pad
+        mask[b, max_length - len(toks):] = 1
+    return ids, mask
 
 
 # ---------------------------------------------------------------------------
 # Embeddings connector (embeddings_connector.py:15-197)
 # ---------------------------------------------------------------------------
 
+def _plain_rms(x, eps):
+    """Parameterless RMS norm (ltx_core.utils rms_norm — the connector's
+    _BasicTransformerBlock1D norms carry no weights)."""
+    xf = x.astype(jnp.float32)
+    y = xf * jax.lax.rsqrt(jnp.mean(xf * xf, -1, keepdims=True) + eps)
+    return y.astype(x.dtype)
+
+
+def _lin_b(p, x):
+    y = jnp.matmul(x, p["w"].astype(x.dtype))
+    return y + p["b"].astype(x.dtype) if "b" in p else y
+
+
 def connector_apply(params, hidden, mask, heads: int, head_dim: int,
-                    num_registers: Optional[int] = None, eps: float = 1e-6):
-    """2-block 1D transformer over Gemma features; padded positions replaced
-    by tiled learnable registers (:132-160), output mask all-valid then."""
+                    num_registers: Optional[int] = None, eps: float = 1e-6,
+                    theta: float = 10000.0, max_pos: float = 1.0):
+    """Embeddings1DConnector (embeddings_connector.py:70-197): padded
+    positions replaced by tiled learnable registers (:131-157), then
+    N _BasicTransformerBlock1D blocks — parameterless rms_norm, biased
+    to_q/k/v/out with weighted qk-RMSNorm over inner_dim and interleaved
+    fractional rope over the full inner width (attention.py:145-207), plain
+    GELU-tanh FF with biases (feed_forward.py, gelu_approx.py) — and a
+    final parameterless rms_norm (:192-194). Output mask is all-valid."""
     B, L, D = hidden.shape
     x = hidden
     out_mask = mask
@@ -149,20 +248,34 @@ def connector_apply(params, hidden, mask, heads: int, head_dim: int,
         x = jnp.where(keep, compacted, regs)
         out_mask = jnp.ones_like(mask)
 
+    from turbodiffusion_tpu.models.rope import apply_rope_interleaved, ltx_freqs
+    pos = jnp.arange(L, dtype=jnp.float32)[None]            # (1, L)
+    freqs = ltx_freqs(pos, D, theta, (max_pos,))            # (L, D//2)
+
+    def wrms(y, w):
+        return _plain_rms(y, eps) * w.astype(y.dtype)
+
     for blk in params["blocks"]:
-        h = _rms(x, blk["norm1"], eps)
-        q = jnp.matmul(h, blk["q"].astype(x.dtype)).reshape(B, L, heads, head_dim)
-        k = jnp.matmul(h, blk["k"].astype(x.dtype)).reshape(B, L, heads, head_dim)
-        v = jnp.matmul(h, blk["v"].astype(x.dtype)).reshape(B, L, heads, head_dim)
-        q, k = _rope(q, 10000.0), _rope(k, 10000.0)
+        h = _plain_rms(x, eps)
+        q = wrms(_lin_b(blk["to_q"], h), blk["q_norm"])
+        k = wrms(_lin_b(blk["to_k"], h), blk["k_norm"])
+        v = _lin_b(blk["to_v"], h)
+        q = apply_rope_interleaved(q[:, :, None], freqs)[:, :, 0]
+        k = apply_rope_interleaved(k[:, :, None], freqs)[:, :, 0]
+        q = q.reshape(B, L, heads, head_dim)
+        k = k.reshape(B, L, heads, head_dim)
+        vh = v.reshape(B, L, heads, head_dim)
         logits = jnp.einsum("blhd,bmhd->bhlm", q, k,
                             preferred_element_type=jnp.float32) * head_dim ** -0.5
-        probs = jax.nn.softmax(logits, -1).astype(v.dtype)
-        o = jnp.einsum("bhlm,bmhd->blhd", probs, v).reshape(B, L, D)
-        x = x + jnp.matmul(o, blk["o"].astype(x.dtype))
-        h = _rms(x, blk["norm2"], eps)
-        x = x + _geglu(blk["mlp"], h)
-    return x, out_mask
+        probs = jax.nn.softmax(logits, -1).astype(vh.dtype)
+        o = jnp.einsum("bhlm,bmhd->blhd", probs, vh).reshape(B, L, D)
+        x = x + _lin_b(blk["to_out"], o)
+        h = _plain_rms(x, eps)
+        ff = _lin_b(blk["ff"]["fc2"],
+                    jax.nn.gelu(_lin_b(blk["ff"]["fc1"], h),
+                                approximate=True))
+        x = x + ff
+    return _plain_rms(x, eps), out_mask
 
 
 def trim_padded(encoding, mask):
@@ -213,26 +326,153 @@ def init_gemma_params(key, cfg: Gemma3Config):
     }
 
 
+def init_feature_extractor_params(key, cfg: Gemma3Config,
+                                  dtype=jnp.bfloat16):
+    """GemmaFeaturesExtractorProjLinear: (hidden * (num_layers+1)) -> hidden,
+    no bias (feature_extractor.py:22)."""
+    D = cfg.hidden_size
+    nl = cfg.num_layers + 1
+    return {"aggregate_embed": (jax.random.normal(key, (D * nl, D))
+                                * 0.02).astype(dtype)}
+
+
 def init_connector_params(key, dim: int, heads: int, head_dim: int,
                           num_layers: int = 2, num_registers: int = 128,
                           dtype=jnp.bfloat16):
     def lin(k, i, o):
-        return (jax.random.normal(k, (i, o)) * 0.02).astype(dtype)
+        return {"w": (jax.random.normal(k, (i, o)) * 0.02).astype(dtype),
+                "b": jnp.zeros((o,), dtype)}
 
     def blk(k):
         ks = iter(jax.random.split(k, 8))
         inner = heads * head_dim
-        return {"norm1": jnp.zeros((dim,), dtype),
-                "q": lin(next(ks), dim, inner), "k": lin(next(ks), dim, inner),
-                "v": lin(next(ks), dim, inner), "o": lin(next(ks), inner, dim),
-                "norm2": jnp.zeros((dim,), dtype),
-                "mlp": {"gate": lin(next(ks), dim, 4 * dim),
-                        "up": lin(next(ks), dim, 4 * dim),
-                        "down": lin(next(ks), 4 * dim, dim)}}
+        return {"to_q": lin(next(ks), dim, inner),
+                "to_k": lin(next(ks), dim, inner),
+                "to_v": lin(next(ks), dim, inner),
+                "to_out": lin(next(ks), inner, dim),
+                "q_norm": jnp.ones((inner,), dtype),
+                "k_norm": jnp.ones((inner,), dtype),
+                "ff": {"fc1": lin(next(ks), dim, 4 * dim),
+                       "fc2": lin(next(ks), 4 * dim, dim)}}
 
     keys = jax.random.split(key, num_layers + 1)
     p = {"blocks": [blk(keys[i]) for i in range(num_layers)]}
     if num_registers:
         p["registers"] = (jax.random.uniform(keys[-1], (num_registers, dim))
                           * 2.0 - 1.0).astype(dtype)
+    return p
+
+
+# ---------------------------------------------------------------------------
+# Full conditioning pipeline (base_encoder.py _preprocess_text +
+# av_encoder.py: encode -> feature-extract -> connector -> video/audio ctx)
+# ---------------------------------------------------------------------------
+
+def encode_text(prompts, gemma_params, connector_params, cfg: Gemma3Config,
+                tokenizer_path: Optional[str] = None, max_length: int = 256,
+                heads: int = 30, head_dim: int = 128,
+                num_registers: int = 128, trim: bool = True):
+    """Prompt(s) -> (caption_embeddings (B, L', hidden), mask or None).
+
+    The LTX-2 conditioning stack end to end: tokenize (left pad) ->
+    Gemma3 all-hidden-states -> per-layer masked normalize + aggregate
+    projection (`gemma_params['feature_extractor']`) -> Embeddings1DConnector
+    (registers replace padding) -> optional padded-span trim."""
+    ids, mask = gemma_tokenize(prompts, tokenizer_path, max_length)
+    ids, mask = jnp.asarray(ids), jnp.asarray(mask)
+    hiddens = gemma3_encode(gemma_params, ids, mask, cfg,
+                            all_hidden_states=True)
+    feats = gemma_feature_extract(gemma_params["feature_extractor"],
+                                  hiddens, mask)
+    out, out_mask = connector_apply(connector_params, feats, mask,
+                                    heads, head_dim,
+                                    num_registers=num_registers)
+    if trim and out_mask is not None:
+        return trim_padded(out, out_mask)
+    return out, out_mask
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint import (HF Gemma-3 layout; LTX-2 connector layout)
+# ---------------------------------------------------------------------------
+
+def gemma_params_from_state_dict(sd, cfg: Gemma3Config, dtype=jnp.bfloat16):
+    """HF Gemma3 text-model state dict -> param tree.
+
+    Accepts both bare `model.*` (Gemma3TextModel) and
+    `language_model.model.*` (Gemma3ForConditionalGeneration — the LTX-2
+    loading path, base_encoder.py:6) key layouts. Linear weights are stored
+    (out, in) in torch; transposed to (in, out) here."""
+    pre = ("language_model.model."
+           if any(k.startswith("language_model.model.") for k in sd)
+           else "model.")
+
+    def t(name):
+        return jnp.asarray(sd[pre + name], dtype).T
+
+    def vec(name):
+        return jnp.asarray(sd[pre + name], dtype)
+
+    def blk(i):
+        b = f"layers.{i}."
+        return {
+            "input_norm": vec(b + "input_layernorm.weight"),
+            "attn": {
+                "q": t(b + "self_attn.q_proj.weight"),
+                "k": t(b + "self_attn.k_proj.weight"),
+                "v": t(b + "self_attn.v_proj.weight"),
+                "o": t(b + "self_attn.o_proj.weight"),
+                "q_norm": vec(b + "self_attn.q_norm.weight"),
+                "k_norm": vec(b + "self_attn.k_norm.weight"),
+            },
+            "post_attn_norm": vec(b + "post_attention_layernorm.weight"),
+            "pre_ffn_norm": vec(b + "pre_feedforward_layernorm.weight"),
+            "mlp": {"gate": t(b + "mlp.gate_proj.weight"),
+                    "up": t(b + "mlp.up_proj.weight"),
+                    "down": t(b + "mlp.down_proj.weight")},
+            "post_ffn_norm": vec(b + "post_feedforward_layernorm.weight"),
+        }
+
+    params = {
+        "embed": vec("embed_tokens.weight"),
+        "blocks": [blk(i) for i in range(cfg.num_layers)],
+        "final_norm": vec("norm.weight"),
+    }
+    fe_key = "feature_extractor_linear.aggregate_embed.weight"
+    if fe_key in sd:
+        params["feature_extractor"] = {
+            "aggregate_embed": jnp.asarray(sd[fe_key], dtype).T}
+    return params
+
+
+def connector_params_from_state_dict(sd, num_layers: int = 2,
+                                     dtype=jnp.bfloat16):
+    """Embeddings1DConnector state dict -> param tree
+    (embeddings_connector.py:113-129: `transformer_1d_blocks.{i}` with
+    attn1.to_{q,k,v}/to_out.0 biased linears + attn1.{q,k}_norm RMS weights
+    (attention.py:166-173), ff.net.0.proj / ff.net.2 biased GELU-tanh MLP
+    (feed_forward.py), `learnable_registers`; the block rms_norms are
+    parameterless — nothing to import for them)."""
+    def lin(name):
+        p = {"w": jnp.asarray(sd[name + ".weight"], dtype).T}
+        if name + ".bias" in sd:
+            p["b"] = jnp.asarray(sd[name + ".bias"], dtype)
+        return p
+
+    def blk(i):
+        b = f"transformer_1d_blocks.{i}."
+        return {
+            "to_q": lin(b + "attn1.to_q"),
+            "to_k": lin(b + "attn1.to_k"),
+            "to_v": lin(b + "attn1.to_v"),
+            "to_out": lin(b + "attn1.to_out.0"),
+            "q_norm": jnp.asarray(sd[b + "attn1.q_norm.weight"], dtype),
+            "k_norm": jnp.asarray(sd[b + "attn1.k_norm.weight"], dtype),
+            "ff": {"fc1": lin(b + "ff.net.0.proj"),
+                   "fc2": lin(b + "ff.net.2")},
+        }
+
+    p = {"blocks": [blk(i) for i in range(num_layers)]}
+    if "learnable_registers" in sd:
+        p["registers"] = jnp.asarray(sd["learnable_registers"], dtype)
     return p
