@@ -179,10 +179,12 @@ def test_ltx_video_vae_shapes_and_roundtrip():
 
 
 def test_ltx_video_vae_causal_first_frame():
-    """Frame 0 of the decode must not depend on later latent frames."""
+    """With decoder_causal=True, frame 0 of the decode must not depend on
+    later latent frames. (The reference decoder is NON-causal by default,
+    video_vae.py:430 — causality is a config choice, exercised here.)"""
     from turbodiffusion_tpu.models.ltx_vae import (
         init_ltx_vae, ltx_vae_decode, ltx_vae_test_config)
-    cfg = ltx_vae_test_config()
+    cfg = ltx_vae_test_config(decoder_causal=True)
     _, dec = init_ltx_vae(jax.random.PRNGKey(0), cfg)
     z1 = jax.random.normal(jax.random.PRNGKey(2), (1, cfg.latent_channels, 3, 2, 2))
     z2 = z1.at[:, :, 2:].set(0.0)

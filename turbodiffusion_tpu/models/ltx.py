@@ -29,7 +29,7 @@ import numpy as np
 
 from turbodiffusion_tpu.config import AttentionConfig
 from turbodiffusion_tpu.models import layers as L
-from turbodiffusion_tpu.models.rope import rope_freqs_3d
+
 from turbodiffusion_tpu.ops.attention import attention as attn_dispatch
 from turbodiffusion_tpu.ops.attention import dense_attention
 from turbodiffusion_tpu.ops.quant import linear_maybe_quant
@@ -176,13 +176,18 @@ def ltx_attention(p, x, heads: int, d_head: int, cfg: LTXConfig,
 
     B, Lq = q.shape[:2]
     Lk = k.shape[1]
+    if freqs is not None:
+        # LTX rope runs over the FULL inner width before the head split
+        # (attention.py:198-203 applies pe to (B, L, inner); the ladder
+        # spans inner_dim, so heads see different frequency slices)
+        from turbodiffusion_tpu.models.rope import apply_rope_interleaved
+        inner = q.shape[-1]
+        q = apply_rope_interleaved(q[:, :, None], freqs)[:, :, 0]
+        kf = k_freqs if k_freqs is not None else freqs
+        k = apply_rope_interleaved(k[:, :, None], kf)[:, :, 0]
     q = q.reshape(B, Lq, heads, d_head)
     k = k.reshape(B, Lk, heads, d_head)
     v = v.reshape(B, Lk, heads, d_head)
-    if freqs is not None:
-        from turbodiffusion_tpu.models.rope import apply_rope
-        q = apply_rope(q, freqs)
-        k = apply_rope(k, k_freqs if k_freqs is not None else freqs)
 
     if attn_cfg is not None and attn_cfg.backend in ("sla", "sagesla") \
             and context is None:
@@ -286,10 +291,43 @@ def adaln_single(p, timestep_B_L, dim: int, coeff: int):
     return mod.reshape(B, Lt, coeff * dim), embedded.reshape(B, Lt, dim)
 
 
-def _audio_freqs(La: int, head_dim: int, theta: float):
-    half = head_dim // 2
-    inv = 1.0 / jnp.power(theta, jnp.arange(half, dtype=jnp.float32) / half)
-    return jnp.outer(jnp.arange(La, dtype=jnp.float32), inv)
+def video_token_positions(T: int, H: int, W: int, fps: float = 24.0,
+                          scale=(8, 32, 32)):
+    """(3, T*H*W) middle positions (time sec, y px, x px) of video tokens.
+
+    Patch bounds [i, i+1) in latent coords scaled by the VAE downscale
+    factors (video_vae.py:442: time 8, space 32) with the causal-VAE
+    temporal fix `(p + 1 - 8).clamp(0)` applied to both bounds, time /fps
+    (tools.get_pixel_coords; patchifiers.get_patch_grid_bounds;
+    ltx_wrapper.py:196-224); rope uses the bound middles
+    (use_middle_indices_grid, rope.py:131-134)."""
+    st, sy, sx = scale
+
+    def mid_t(i):
+        lo = jnp.clip(i * st + 1 - st, 0)
+        hi = jnp.clip((i + 1) * st + 1 - st, 0)
+        return (lo + hi) / 2.0 / fps
+
+    t = mid_t(jnp.arange(T, dtype=jnp.float32))
+    y = (jnp.arange(H, dtype=jnp.float32) + 0.5) * sy
+    x = (jnp.arange(W, dtype=jnp.float32) + 0.5) * sx
+    tt = jnp.broadcast_to(t[:, None, None], (T, H, W)).reshape(-1)
+    yy = jnp.broadcast_to(y[None, :, None], (T, H, W)).reshape(-1)
+    xx = jnp.broadcast_to(x[None, None, :], (T, H, W)).reshape(-1)
+    return jnp.stack([tt, yy, xx])
+
+
+def audio_token_positions(La: int, sample_rate: float = 16000.0,
+                          hop: float = 160.0, down: int = 4):
+    """(1, La) middle positions (seconds) of audio latent tokens
+    (ltx_wrapper.py:233-288: mel frame = latent*4 with causal clip
+    `(m + 1 - 4).clip(0)`, seconds = mel * hop / sample_rate)."""
+    def t_sec(i):
+        return jnp.clip(i * down + 1 - down, 0) * hop / sample_rate
+
+    lo = t_sec(jnp.arange(La, dtype=jnp.float32))
+    hi = t_sec(jnp.arange(1, La + 1, dtype=jnp.float32))
+    return ((lo + hi) / 2.0)[None]
 
 
 def ltx_forward(params, cfg: LTXConfig, video_tokens, audio_tokens,
@@ -335,13 +373,20 @@ def ltx_forward(params, cfg: LTXConfig, video_tokens, audio_tokens,
                  caption_audio.astype(dt)), approximate=True))
 
     T, Hh, W = video_grid
-    v_freqs = rope_freqs_3d(T, Hh, W, cfg.video_head_dim)
-    a_freqs = _audio_freqs(La, cfg.audio_head_dim, cfg.rope_theta)
-    # cross-modal attention uses temporal-only alignment embeddings at the
-    # shared audio head_dim (model.py cross_pe_max_pos)
-    v_cross_freqs = jnp.repeat(
-        _audio_freqs(T, cfg.audio_head_dim, cfg.rope_theta), Hh * W, axis=0)
-    a_cross_freqs = a_freqs
+    # LTX fractional rope over the FULL inner width (transformer_args.py:106:
+    # dim=inner_dim; max_pos [20, 2048, 2048] video / [20] audio,
+    # model.py:84-109)
+    from turbodiffusion_tpu.models.rope import ltx_freqs
+    v_pos = video_token_positions(T, Hh, W)
+    a_pos = audio_token_positions(La)
+    v_freqs = ltx_freqs(v_pos, cfg.video_dim, cfg.rope_theta,
+                        (20.0, 2048.0, 2048.0))
+    a_freqs = ltx_freqs(a_pos, cfg.audio_dim, cfg.rope_theta, (20.0,))
+    # AV cross attention: temporal-only pe at audio_cross_attention_dim,
+    # max_pos [max(20, 20)] (transformer_args.py:193-200)
+    ca_dim = cfg.audio_heads * cfg.audio_head_dim
+    v_cross_freqs = ltx_freqs(v_pos[0:1], ca_dim, cfg.rope_theta, (20.0,))
+    a_cross_freqs = ltx_freqs(a_pos, ca_dim, cfg.rope_theta, (20.0,))
 
     per_layer = attn_cfgs is not None
 

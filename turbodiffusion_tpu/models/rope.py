@@ -147,3 +147,42 @@ def permute_qk_linear(p: dict, head_dim: int, num_heads: int,
     if p.get("b") is not None:
         out["b"] = p["b"][perm]
     return out
+
+
+# ---------------------------------------------------------------------------
+# LTX-2 fractional rope (TurboT2AV)
+# ---------------------------------------------------------------------------
+
+def ltx_freqs(positions, dim: int, theta: float = 10000.0,
+              max_pos=(20.0, 2048.0, 2048.0)) -> jnp.ndarray:
+    """LTX-2 fractional-position rope angles
+    (ltx_core/model/transformer/rope.py:70-141,178-205).
+
+    positions: (n_dims, L) float *middle* coordinates (time in seconds,
+    y/x in pixels — see `ltx.video_token_positions`). The frequency ladder
+    spans the FULL inner width `dim` (heads get different ladder slices —
+    unlike Wan's per-head rope): per-dim ladder
+    theta**linspace(0, 1, dim // (2*n_dims)) * pi/2, angle =
+    ladder * (2 * pos/max_pos - 1), flattened ladder-major with the position
+    dims interleaved per ladder entry; `dim % (2*n_dims)` leading channels
+    are identity (zero angle).
+
+    Returns angles (L, dim//2) for `apply_rope_interleaved` over the flat
+    inner width.
+    """
+    import math as _math
+    n_dims, L = positions.shape
+    per = dim // (2 * n_dims)
+    pad_half = (dim % (2 * n_dims)) // 2
+    ladder = (jnp.power(jnp.float32(theta),
+                        jnp.linspace(0.0, 1.0, per, dtype=jnp.float32))
+              * (_math.pi / 2))                                   # (per,)
+    frac = positions.astype(jnp.float32) / \
+        jnp.asarray(max_pos, jnp.float32)[:, None]                # (n, L)
+    scaled = 2.0 * frac - 1.0
+    ang = ladder[:, None, None] * scaled[None]                    # (per,n,L)
+    ang = ang.reshape(per * n_dims, L).T                          # (L, per*n)
+    if pad_half:
+        ang = jnp.concatenate(
+            [jnp.zeros((L, pad_half), jnp.float32), ang], axis=1)
+    return ang
