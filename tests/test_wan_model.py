@@ -139,3 +139,51 @@ def test_forward_jit_and_grad():
     gnorm = jax.tree_util.tree_reduce(
         lambda a, b: a + jnp.sum(jnp.abs(b)), g, 0.0)
     assert np.isfinite(float(gnorm)) and float(gnorm) > 0
+
+
+def test_flf2v_emb_pos_branch():
+    """flf2v: zero-init emb_pos exists, shifts the CLIP branch when nonzero,
+    and pairs stacked on batch merge to (…, 514, 1280)
+    (wan2pt1.py:457-486, FIRST_LAST_FRAME_CONTEXT_TOKEN_NUMBER=514)."""
+    cfg = wan_test_config(arch="wan2.1", model_type="flf2v")
+    params = init_wan_params(jax.random.PRNGKey(0), cfg)
+    assert params["img_emb"]["emb_pos"].shape == (1, 514, 1280)
+
+    x, t, ctx = _tiny_inputs(cfg)
+    clip = jax.random.normal(jax.random.PRNGKey(7), (1, 514, 1280),
+                             jnp.float32)
+    out0 = wan_forward(params, cfg, x, t, ctx, frame_cond_crossattn_emb=clip)
+    # zero-init emb_pos: identical to the plain i2v MLPProj output
+    p_no = {k: v for k, v in params.items()}
+    p_no["img_emb"] = {k: v for k, v in params["img_emb"].items()
+                       if k != "emb_pos"}
+    out_plain = wan_forward(p_no, cfg, x, t, ctx,
+                            frame_cond_crossattn_emb=clip)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(out_plain),
+                               rtol=1e-5, atol=1e-5)
+    # nonzero emb_pos changes the projected image context (the model head
+    # is zero-init, so compare at the MLPProj level)
+    from turbodiffusion_tpu.models.wan import _img_emb
+    e0 = _img_emb(params["img_emb"], clip)
+    params["img_emb"]["emb_pos"] = params["img_emb"]["emb_pos"] + 0.5
+    e1 = _img_emb(params["img_emb"], clip)
+    assert float(np.abs(np.asarray(e1) - np.asarray(e0)).max()) > 1e-6
+
+    # first/last pairs stacked on batch: (2, 257, d) merges to (1, 514, d)
+    pair = jax.random.normal(jax.random.PRNGKey(8), (2, 257, 1280),
+                             jnp.float32)
+    merged = _img_emb(params["img_emb"], pair)
+    assert merged.shape[0] == 1 and merged.shape[1] == 514
+
+
+def test_flf2v_state_dict_roundtrip():
+    from turbodiffusion_tpu.utils.checkpoint import (
+        wan_params_from_state_dict, wan_state_dict_from_params)
+    cfg = wan_test_config(arch="wan2.1", model_type="flf2v")
+    params = init_wan_params(jax.random.PRNGKey(0), cfg)
+    params["img_emb"]["emb_pos"] = params["img_emb"]["emb_pos"] + 0.25
+    sd = wan_state_dict_from_params(params, cfg)
+    assert "img_emb.emb_pos" in sd
+    re = wan_params_from_state_dict(sd, cfg)
+    np.testing.assert_allclose(np.asarray(re["img_emb"]["emb_pos"]),
+                               np.asarray(params["img_emb"]["emb_pos"]))

@@ -186,6 +186,9 @@ def wan_params_from_state_dict(sd: Dict[str, np.ndarray], cfg: WanConfig):
             "norm2": {"scale": jnp.asarray(sd["img_emb.proj.4.weight"], dtype),
                       "bias": jnp.asarray(sd["img_emb.proj.4.bias"], dtype)},
         }
+        if "img_emb.emb_pos" in sd:     # flf2v (wan2pt1.py:469)
+            params["img_emb"]["emb_pos"] = jnp.asarray(
+                sd["img_emb.emb_pos"], dtype)
     return params
 
 
@@ -370,6 +373,8 @@ def wan_state_dict_from_params(params, cfg: WanConfig) -> Dict[str, np.ndarray]:
         put_lin("img_emb.proj.3", ie["fc2"])
         sd["img_emb.proj.4.weight"] = np.asarray(ie["norm2"]["scale"])
         sd["img_emb.proj.4.bias"] = np.asarray(ie["norm2"]["bias"])
+        if "emb_pos" in ie:             # flf2v
+            sd["img_emb.emb_pos"] = np.asarray(ie["emb_pos"])
     return sd
 
 
