@@ -149,3 +149,21 @@ def test_native_host_ops_match_numpy():
     ref = 10 * np.log10(1.0 / np.mean((a - b).astype(np.float64) ** 2))
     np.testing.assert_allclose(H.psnr(a, b), ref, rtol=1e-4)
     assert H.psnr(a, a) >= 1e8
+
+
+def test_device_monitor_callback():
+    """DeviceMonitor (reference rcm/callbacks/device_monitor.py analog):
+    snapshots per-device memory + host RSS, fires on its cadence, and
+    writes a metric."""
+    from turbodiffusion_tpu.training.trainer import DeviceMonitor
+    mon = DeviceMonitor(every_n=2)
+    snap = DeviceMonitor.snapshot()
+    assert len(snap["devices"]) >= 1
+    assert snap.get("host_rss_kb", 0) > 0
+
+    metrics = {}
+    mon.on_training_step_end(None, metrics, 1)   # off-cadence: no-op
+    assert mon.last == {}
+    mon.on_training_step_end(None, metrics, 2)
+    assert mon.last["devices"]
+    assert "device_bytes_in_use" in metrics

@@ -98,6 +98,60 @@ class GradNormMonitor(Callback):
             self.history.append(float(metrics["grad_norm"]))
 
 
+class DeviceMonitor(Callback):
+    """Periodic per-device utilization/memory report (the reference's
+    DeviceMonitor callback, rcm/callbacks/device_monitor.py: GPU
+    util/mem/temp via pynvml — here TPU/host equivalents: per-device HBM
+    in-use and peak from `memory_stats()`, host RSS from /proc)."""
+
+    def __init__(self, every_n: int = 50):
+        self.every_n = every_n
+        self.last: Dict = {}
+
+    @staticmethod
+    def snapshot() -> Dict:
+        report: Dict = {"devices": []}
+        for d in jax.local_devices():
+            entry = {"id": d.id, "kind": d.device_kind}
+            try:
+                stats = d.memory_stats() or {}
+                entry["bytes_in_use"] = int(stats.get("bytes_in_use", 0))
+                entry["peak_bytes_in_use"] = int(
+                    stats.get("peak_bytes_in_use", 0))
+                entry["bytes_limit"] = int(stats.get("bytes_limit", 0))
+            except Exception:
+                pass  # CPU devices expose no memory stats
+            report["devices"].append(entry)
+        try:
+            with open("/proc/self/status") as f:
+                for line in f:
+                    if line.startswith("VmRSS"):
+                        report["host_rss_kb"] = int(line.split()[1])
+                        break
+        except OSError:
+            pass
+        return report
+
+    def on_training_step_end(self, state, metrics, iteration):
+        if iteration % self.every_n:
+            return
+        self.last = self.snapshot()
+        parts = []
+        for d in self.last["devices"]:
+            if "bytes_in_use" in d:
+                lim = d.get("bytes_limit") or 1
+                parts.append(
+                    f"d{d['id']} {d['bytes_in_use'] / 2**30:.2f}/"
+                    f"{lim / 2**30:.2f}GiB "
+                    f"(peak {d['peak_bytes_in_use'] / 2**30:.2f})")
+        rss = self.last.get("host_rss_kb", 0) / 2**20
+        log.info(f"iter {iteration} device mem: "
+                 f"{'; '.join(parts) or 'n/a'}; host rss {rss:.2f}GiB")
+        metrics["device_bytes_in_use"] = max(
+            (d.get("bytes_in_use", 0) for d in self.last["devices"]),
+            default=0)
+
+
 class EveryNDrawSample(Callback):
     """Periodically run the few-step sampler and save decoded videos —
     training-time visual validation (rcm/callbacks/every_n_draw_distill.py:102,
