@@ -93,6 +93,43 @@ def cmd_ckpt_to_pth(args):
           f"({'EMA' if args.ema else 'regular'} weights)")
 
 
+def cmd_dcp_to_pth(args):
+    """torch-DCP shard directory (__N_0.distcp) -> inference .pth.
+
+    Interop with the reference's training checkpoints
+    (rcm/checkpointers/dcp.py:16-49 layout; converter
+    turbodiffusion/scripts/dcp_to_pth.py:33-46): reads the sharded
+    distributed checkpoint single-process, extracts `net_ema.*` -> `net.*`
+    (or `net.*` with --no-ema), casts floating tensors to bf16."""
+    import torch
+    from torch.distributed.checkpoint import FileSystemReader
+    from torch.distributed.checkpoint.default_planner import (
+        _EmptyStateDictLoadPlanner)
+    from torch.distributed.checkpoint.state_dict_loader import (
+        _load_state_dict)
+
+    sd = {}
+    _load_state_dict(sd, storage_reader=FileSystemReader(args.dcp_dir),
+                     planner=_EmptyStateDictLoadPlanner(), no_dist=True)
+    src = "net_ema." if args.ema else "net."
+    out = {}
+    for k, v in sd.items():
+        if not k.startswith(src):
+            continue
+        nk = "net." + k[len(src):]
+        if isinstance(v, torch.Tensor) and v.is_floating_point():
+            v = v.to(torch.bfloat16)
+        out[nk] = v
+    if not out:
+        # flat state dicts (no net./net_ema. prefix): pass through verbatim
+        out = {k: (v.to(torch.bfloat16)
+                   if isinstance(v, torch.Tensor) and v.is_floating_point()
+                   else v)
+               for k, v in sd.items()}
+    torch.save(out, args.output_path)
+    print(f"wrote {args.output_path} ({len(out)} tensors)")
+
+
 def cmd_merge(args):
     """base + w*(target - diff_base) (merge_models.py:6-60)."""
     import numpy as np
@@ -152,6 +189,14 @@ def main():
     c.add_argument("--ema", action="store_true", default=True)
     c.add_argument("--no-ema", dest="ema", action="store_false")
     c.set_defaults(fn=cmd_ckpt_to_pth)
+
+    d = sub.add_parser("dcp-to-pth")
+    d.add_argument("--dcp_dir", required=True,
+                   help="DCP model dir, e.g. checkpoints/iter_000010000/model")
+    d.add_argument("--output_path", required=True)
+    d.add_argument("--ema", action="store_true", default=True)
+    d.add_argument("--no-ema", dest="ema", action="store_false")
+    d.set_defaults(fn=cmd_dcp_to_pth)
 
     m = sub.add_parser("merge")
     m.add_argument("--base", required=True)
