@@ -52,3 +52,117 @@ double psnr_f32(const float* a, const float* b, size_t n, double peak) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Native tar-shard reader (webdataset loader fast path).
+//
+// The reference's data path leans on webdataset's C-backed tar streaming;
+// the Python tarfile module is the single-host-core bottleneck for
+// data-heavy training. This indexes a ustar/pax archive (skipping pax/GNU
+// metadata entries) and serves batched byte-range reads with threaded
+// pread(2). Exposed via ctypes (utils/host_ops.py), numpy/tarfile fallback.
+// ---------------------------------------------------------------------------
+
+#include <cstdio>
+#include <cstring>
+#include <fcntl.h>
+#include <thread>
+#include <unistd.h>
+#include <vector>
+
+namespace {
+
+long octal_field(const char* p, size_t n) {
+    // octal or GNU base-256 (high bit set on first byte)
+    if (static_cast<unsigned char>(p[0]) & 0x80) {
+        long v = static_cast<unsigned char>(p[0]) & 0x7f;
+        for (size_t i = 1; i < n; ++i)
+            v = (v << 8) | static_cast<unsigned char>(p[i]);
+        return v;
+    }
+    long v = 0;
+    for (size_t i = 0; i < n && p[i]; ++i) {
+        if (p[i] < '0' || p[i] > '7') continue;
+        v = v * 8 + (p[i] - '0');
+    }
+    return v;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Index regular-file members of a tar archive.
+//   names_out: max_members rows of name_stride bytes (NUL-terminated)
+//   offsets_out/sizes_out: data offset and size per member
+// Returns the member count, or -1 on IO error, -2 if max_members exceeded.
+long tar_index(const char* path, char* names_out, long name_stride,
+               long* offsets_out, long* sizes_out, long max_members) {
+    FILE* f = std::fopen(path, "rb");
+    if (!f) return -1;
+    char hdr[512];
+    long count = 0;
+    long pos = 0;
+    while (std::fread(hdr, 1, 512, f) == 512) {
+        pos += 512;
+        if (hdr[0] == '\0') break;  // end-of-archive zero block
+        const long size = octal_field(hdr + 124, 12);
+        const char type = hdr[156];
+        const long data_blocks = (size + 511) / 512;
+        if (type == '0' || type == '\0') {  // regular file
+            if (count == max_members) { std::fclose(f); return -2; }
+            // name = prefix '/' name (ustar split long paths)
+            char full[257];
+            full[0] = '\0';
+            if (hdr[345]) {
+                std::snprintf(full, sizeof(full), "%.155s/%.100s",
+                              hdr + 345, hdr);
+            } else {
+                std::snprintf(full, sizeof(full), "%.100s", hdr);
+            }
+            std::strncpy(names_out + count * name_stride, full,
+                         name_stride - 1);
+            names_out[count * name_stride + name_stride - 1] = '\0';
+            offsets_out[count] = pos;
+            sizes_out[count] = size;
+            ++count;
+        }
+        // skip data (and pax 'x'/'g', GNU 'L'/'K' payloads alike)
+        pos += data_blocks * 512;
+        if (std::fseek(f, pos, SEEK_SET) != 0) { std::fclose(f); return -1; }
+    }
+    std::fclose(f);
+    return count;
+}
+
+// Threaded batched range reads: member i lands at out + out_offsets[i].
+// Returns 0 on success, -1 on any IO failure.
+int tar_read_ranges(const char* path, const long* offsets, const long* sizes,
+                    long n, uint8_t* out, const long* out_offsets,
+                    int n_threads) {
+    int fd = ::open(path, O_RDONLY);
+    if (fd < 0) return -1;
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > n) n_threads = static_cast<int>(n);
+    std::vector<std::thread> threads;
+    std::vector<int> errs(n_threads, 0);
+    for (int t = 0; t < n_threads; ++t) {
+        threads.emplace_back([=, &errs]() {
+            for (long i = t; i < n; i += n_threads) {
+                long done = 0;
+                while (done < sizes[i]) {
+                    ssize_t r = ::pread(fd, out + out_offsets[i] + done,
+                                        sizes[i] - done, offsets[i] + done);
+                    if (r <= 0) { errs[t] = -1; return; }
+                    done += r;
+                }
+            }
+        });
+    }
+    for (auto& th : threads) th.join();
+    ::close(fd);
+    for (int e : errs) if (e) { return -1; }
+    return 0;
+}
+
+}  // extern "C"

@@ -167,3 +167,35 @@ def test_device_monitor_callback():
     mon.on_training_step_end(None, metrics, 2)
     assert mon.last["devices"]
     assert "device_bytes_in_use" in metrics
+
+
+def test_native_tar_reader_matches_tarfile(tmp_path):
+    """C tar indexer + threaded range reads (csrc tar_index/tar_read_ranges)
+    == Python tarfile on a real shard; the loader fast path round-trips."""
+    import tarfile as _tarfile
+    from turbodiffusion_tpu.training.data import (
+        iter_tar_samples, write_tar_shard)
+    from turbodiffusion_tpu.utils import host_ops
+
+    samples = [{"latents": np.arange(24, dtype=np.float32).reshape(2, 3, 4)
+                + i, "prompts": f"prompt number {i}"} for i in range(5)]
+    shard = str(tmp_path / "shard-000.tar")
+    write_tar_shard(shard, samples)
+
+    idx = host_ops.tar_index(shard)
+    with _tarfile.open(shard) as tf:
+        want = [(m.name, m.offset_data, m.size) for m in tf if m.isfile()]
+    assert idx == want and len(idx) >= 10
+
+    blobs = host_ops.tar_read_ranges(shard, [(o, s) for _, o, s in idx],
+                                     n_threads=3)
+    with _tarfile.open(shard) as tf:
+        for (name, _, _), blob in zip(idx, blobs):
+            assert tf.extractfile(name).read() == blob
+
+    native = list(iter_tar_samples(shard, native=True))
+    python = list(iter_tar_samples(shard, native=False))
+    assert len(native) == len(python) == 5
+    for a, b in zip(native, python):
+        np.testing.assert_array_equal(a["latents"], b["latents"])
+        assert a["prompts"] == b["prompts"]

@@ -45,9 +45,38 @@ def _load_member(name: str, data: bytes):
     return data
 
 
-def iter_tar_samples(shard_path: str) -> Iterator[Dict]:
-    """Group tar members by basename, map extensions to batch keys."""
-    sample: Dict = {}
+def iter_tar_samples(shard_path: str, native: bool = True) -> Iterator[Dict]:
+    """Group tar members by basename, map extensions to batch keys.
+
+    native=True uses the C tar indexer + threaded range reads
+    (csrc/host_ops.cpp tar_index/tar_read_ranges) — the Python tarfile
+    module is the single-host-core bottleneck on data-heavy training;
+    falls back to tarfile automatically."""
+    if native:
+        from turbodiffusion_tpu.utils import host_ops
+        try:
+            members = host_ops.tar_index(shard_path)
+        except OSError:
+            members = None
+        if members is not None:
+            blobs = host_ops.tar_read_ranges(
+                shard_path, [(off, size) for _, off, size in members])
+            sample: Dict = {}
+            current = None
+            for (name, _, _), data in zip(members, blobs):
+                base, _, ext = name.partition(".")
+                if current is not None and base != current and sample:
+                    yield sample
+                    sample = {}
+                current = base
+                key = KEY_MAP.get(name[len(base) + 1:])
+                if key is not None:
+                    sample[key] = _load_member(name, data)
+            if sample:
+                yield sample
+            return
+
+    sample = {}
     current = None
     with tarfile.open(shard_path) as tf:
         for member in tf:

@@ -43,6 +43,17 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.c_size_t, ctypes.c_double]
         lib.psnr_f32.restype = ctypes.c_double
+        lib.tar_index.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
+            ctypes.c_long]
+        lib.tar_index.restype = ctypes.c_long
+        lib.tar_read_ranges.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_long),
+            ctypes.POINTER(ctypes.c_long), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_long),
+            ctypes.c_int]
+        lib.tar_read_ranges.restype = ctypes.c_int
         _lib = lib
     except OSError:
         _lib = None
@@ -73,6 +84,65 @@ def f32_to_u8(x: np.ndarray) -> np.ndarray:
                   out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                   x.size)
     return out
+
+
+_NAME_STRIDE = 264
+
+
+def tar_index(path: str, max_members: int = 1 << 20):
+    """Index a tar shard natively: [(name, data_offset, size), ...].
+
+    C-side ustar/pax parser (csrc/host_ops.cpp tar_index) — skips pax/GNU
+    metadata entries; falls back to Python tarfile without the library.
+    The webdataset loader's fast path (training/data.py)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "tar_index"):
+        import tarfile
+        out = []
+        with tarfile.open(path) as tf:
+            for m in tf:
+                if m.isfile():
+                    out.append((m.name, m.offset_data, m.size))
+        return out
+    names = ctypes.create_string_buffer(max_members * _NAME_STRIDE)
+    offs = (ctypes.c_long * max_members)()
+    sizes = (ctypes.c_long * max_members)()
+    n = lib.tar_index(path.encode(), names, _NAME_STRIDE, offs, sizes,
+                      max_members)
+    if n < 0:
+        raise OSError(f"tar_index({path}) failed: {n}")
+    return [(names[i * _NAME_STRIDE:(i + 1) * _NAME_STRIDE].split(b"\0")[0]
+             .decode(), offs[i], sizes[i]) for i in range(n)]
+
+
+def tar_read_ranges(path: str, ranges, n_threads: int = 4):
+    """Read [(offset, size), ...] from a file with threaded pread; returns
+    a list of bytes objects (one per range)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "tar_read_ranges"):
+        out = []
+        with open(path, "rb") as f:
+            for off, size in ranges:
+                f.seek(off)
+                out.append(f.read(size))
+        return out
+    n = len(ranges)
+    if n == 0:
+        return []
+    offs = (ctypes.c_long * n)(*[r[0] for r in ranges])
+    sizes = (ctypes.c_long * n)(*[r[1] for r in ranges])
+    out_offs_list = np.cumsum([0] + [r[1] for r in ranges])[:-1].tolist()
+    out_offs = (ctypes.c_long * n)(*out_offs_list)
+    total = int(sum(r[1] for r in ranges))
+    buf = np.empty(total, np.uint8)
+    rc = lib.tar_read_ranges(
+        path.encode(), offs, sizes, n,
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out_offs,
+        n_threads)
+    if rc != 0:
+        raise OSError(f"tar_read_ranges({path}) failed")
+    return [buf[o:o + s].tobytes()
+            for o, s in zip(out_offs_list, (r[1] for r in ranges))]
 
 
 def psnr(a: np.ndarray, b: np.ndarray, peak: float = 1.0) -> float:
