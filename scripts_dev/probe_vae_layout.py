@@ -18,11 +18,14 @@ print(jax.devices(), flush=True)
 
 
 def timeit(f, *args, iters=10):
-    float(jnp.sum(f(*args)))                  # compile + sync
+    # f returns a SCALAR (sum fused inside jit): eager ops over the axon
+    # remote tunnel cost ~100 s each, so fetching a 4-byte scalar is the
+    # only safe sync primitive here.
+    float(f(*args))                           # compile + sync
     t0 = time.perf_counter()
     s = 0.0
     for _ in range(iters):
-        s += float(jnp.sum(f(*args)))         # device->host fetch = sync
+        s += float(f(*args))
     return (time.perf_counter() - t0) / iters * 1e3
 
 
@@ -40,14 +43,14 @@ for name, (B, C, T, H, W), CO in CASES:
     x = jnp.asarray(r.randn(B, C, T, H, W), jnp.bfloat16)
     w = jnp.asarray(r.randn(CO, C, 3, 3, 3) * 0.05, jnp.bfloat16)
 
-    f_ncdhw = jax.jit(lambda x_, w_: jax.lax.conv_general_dilated(
+    f_ncdhw = jax.jit(lambda x_, w_: jnp.sum(jax.lax.conv_general_dilated(
         x_, w_, (1, 1, 1), [(1, 1)] * 3,
-        dimension_numbers=("NCDHW", "OIDHW", "NCDHW")))
+        dimension_numbers=("NCDHW", "OIDHW", "NCDHW")).astype(jnp.float32)))
     xt = jnp.moveaxis(x, 1, -1)
     wt = jnp.transpose(w, (2, 3, 4, 1, 0))
-    f_ndhwc = jax.jit(lambda x_, w_: jax.lax.conv_general_dilated(
+    f_ndhwc = jax.jit(lambda x_, w_: jnp.sum(jax.lax.conv_general_dilated(
         x_, w_, (1, 1, 1), [(1, 1)] * 3,
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC")))
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC")).astype(jnp.float32)))
     try:
         t1 = timeit(f_ncdhw, x, w, iters=5)
     except Exception as e:
@@ -69,12 +72,12 @@ z = jnp.asarray(r.randn(1, 16, 21, 60, 104), jnp.float32)
 for chunk in (4, 5, 10):
     if 20 % chunk:
         continue
+    dec = jax.jit(lambda p_, z_: jnp.sum(
+        vae_decode(p_, z_, chunk=chunk).astype(jnp.float32)))
     t0 = time.perf_counter()
-    o = vae_decode(params, z, chunk=chunk)
-    np.asarray(o)
+    float(dec(params, z))
     compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
-    o = vae_decode(params, z, chunk=chunk)
-    np.asarray(o)
+    float(dec(params, z))
     print(f"vae_decode chunk={chunk}: {time.perf_counter()-t0:.2f} s "
           f"(compile+first {compile_s:.1f} s)", flush=True)

@@ -75,38 +75,84 @@ class VAEConfig:
 # Primitive ops
 # ---------------------------------------------------------------------------
 
-def _conv3d(p, x, stride=(1, 1, 1), pad=(0, 0, 0)):
-    """NCDHW conv with OIDHW weights (torch layout, zero-copy import)."""
-    out = jax.lax.conv_general_dilated(
-        x, p["w"].astype(x.dtype), window_strides=stride,
-        padding=[(pad[0], pad[0]), (pad[1], pad[1]), (pad[2], pad[2])],
-        dimension_numbers=("NCDHW", "OIDHW", "NCDHW"))
-    return out + p["b"].astype(x.dtype)[None, :, None, None, None]
+def _fast_params(tree):
+    """One-time weight relayout for the channels-last fast path: torch
+    (O, I, kt, kh, kw) -> (kt, kh, kw, I, O) and (O, I, kh, kw) ->
+    (kh, kw, I, O). Runs outside the scan, so the transposes happen once
+    per call, not per chunk. Checkpoints/init stay in torch layout."""
+    def fix(d):
+        if isinstance(d, dict):
+            out = {}
+            for k, v in d.items():
+                if isinstance(v, dict) and "w" in v and v["w"] is not None \
+                        and getattr(v["w"], "ndim", 0) in (4, 5):
+                    w = v["w"]
+                    perm = (2, 3, 4, 1, 0) if w.ndim == 5 else (2, 3, 1, 0)
+                    out[k] = {**v, "w": jnp.transpose(w, perm)}
+                else:
+                    out[k] = fix(v)
+            return out
+        if isinstance(d, list):
+            return [fix(v) for v in d]
+        return d
+    return fix(tree)
 
 
-def _conv2d(p, x, stride=(1, 1), pad=(0, 0)):
-    """(B*T, C, H, W) conv, OIHW weights."""
+def _conv2d_cl(w, b, x, stride=(1, 1), pad="same"):
+    """NHWC conv; w: (kh, kw, I, O). pad='same' centers odd kernels."""
+    kh, kw = w.shape[0], w.shape[1]
+    padding = ([(kh // 2, kh // 2), (kw // 2, kw // 2)] if pad == "same"
+               else pad)
     out = jax.lax.conv_general_dilated(
-        x, p["w"].astype(x.dtype), window_strides=stride,
-        padding=[(pad[0], pad[0]), (pad[1], pad[1])],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))
-    return out + p["b"].astype(x.dtype)[None, :, None, None]
+        x, w.astype(x.dtype), stride, padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if b is not None:
+        out = out + b.astype(x.dtype)
+    return out
+
+
+def _conv3d_cl(p, x, t_stride: int = 1):
+    """Channels-last 3D conv as kt temporal-tap 2D NHWC convs summed.
+
+    x: (B, T2, H, W, C) with the temporal extent ALREADY padded/cached
+    (T2 = kt - t_stride + T_out * t_stride); w: (kt, kh, kw, I, O).
+    The TPU conv unit runs the 2D taps ~1.5x faster than the equivalent
+    volumetric conv (measured 28 vs 43 ms for 16x480x832x96->96), and the
+    temporal slices are views in this layout — no transpose per tap."""
+    w, b = p["w"], p["b"]
+    kt = w.shape[0]
+    B, T2, H, W, C = x.shape
+    T_out = (T2 - kt) // t_stride + 1
+    acc = None
+    for dt in range(kt):
+        xs = x[:, dt:dt + (T_out - 1) * t_stride + 1:t_stride]
+        xs = xs.reshape(B * T_out, H, W, C)
+        y = _conv2d_cl(w[dt], None, xs)
+        acc = y if acc is None else acc + y
+    acc = acc + b.astype(x.dtype)
+    return acc.reshape(B, T_out, *acc.shape[1:])
+
+
+def _conv1_cl(p, x):
+    """1x1x1 conv = channel matmul. w: (1, 1, 1, I, O) or (1, 1, I, O)."""
+    w = p["w"]
+    w2 = w.reshape(w.shape[-2], w.shape[-1])
+    return jnp.matmul(x, w2.astype(x.dtype)) + p["b"].astype(x.dtype)
 
 
 def _channel_rms_norm(x, gamma, scale_dim):
-    """VAE RMS_norm (wan2pt1.py:58-71): F.normalize over the channel dim
-    times sqrt(C) times gamma. x: (B, C, ...); gamma broadcast over C."""
+    """VAE RMS_norm (wan2pt1.py:58-71): F.normalize over channels (last dim
+    here) times sqrt(C) times gamma."""
     xf = x.astype(jnp.float32)
-    norm = jnp.sqrt(jnp.sum(xf * xf, axis=1, keepdims=True))
+    norm = jnp.sqrt(jnp.sum(xf * xf, axis=-1, keepdims=True))
     y = xf / jnp.maximum(norm, 1e-12) * (scale_dim ** 0.5)
-    # gamma is stored with torch's trailing-singleton shape ((C,1,1,1) for
-    # video, (C,1,1) for per-frame use); align it to the channel axis.
-    g = gamma.astype(jnp.float32).reshape(1, -1, *([1] * (x.ndim - 2)))
+    g = gamma.astype(jnp.float32).reshape(-1)
     return (y * g).astype(x.dtype)
 
 
 class _CacheIO:
-    """Construction-order cache registry ≡ the reference's feat_idx walk."""
+    """Construction-order cache registry ≡ the reference's feat_idx walk.
+    Cached tensors are channels-last (B, F, H, W, C)."""
 
     def __init__(self, cache: Optional[Dict[str, Any]], first: bool):
         self.cache = {} if cache is None else dict(cache)
@@ -119,8 +165,8 @@ class _CacheIO:
         key = f"c{self.counter}"
         self.counter += 1
         if self.first:
-            B, C, _, H, W = like.shape
-            val = jnp.zeros((B, C, frames, H, W), like.dtype)
+            B, _, H, W, C = like.shape
+            val = jnp.zeros((B, frames, H, W, C), like.dtype)
         else:
             val = self.cache[key]
         return key, val
@@ -129,81 +175,77 @@ class _CacheIO:
         self.cache[key] = val
 
 
-def _causal_conv3d(p, x, io: _CacheIO, k=(3, 3, 3), stride=(1, 1, 1)):
-    """CausalConv3d with 2-frame temporal cache (wan2pt1.py:37-55)."""
-    pt, ph, pw = k[0] // 2, k[1] // 2, k[2] // 2
-    if k[0] > 1:
+def _causal_conv3d(p, x, io: _CacheIO, t_stride: int = 1):
+    """CausalConv3d with 2-frame temporal cache (wan2pt1.py:37-55).
+    x: (B, T, H, W, C)."""
+    if p["w"].shape[0] > 1:
         key, cache = io.pull(CACHE_T, x)
-        x_in = jnp.concatenate([cache, x], axis=2)
-        io.push(key, x_in[:, :, -CACHE_T:])
-        return _conv3d(p, x_in, stride=stride, pad=(0, ph, pw))
-    return _conv3d(p, x, stride=stride, pad=(0, ph, pw))
+        x_in = jnp.concatenate([cache, x], axis=1)
+        io.push(key, x_in[:, -CACHE_T:])
+        return _conv3d_cl(p, x_in, t_stride=t_stride)
+    return _conv3d_cl(p, x, t_stride=t_stride)
 
 
 def _resblock(p, x, io: _CacheIO):
     """ResidualBlock (wan2pt1.py:180-215): RMS->SiLU->conv ->RMS->SiLU->conv
     + shortcut."""
-    C_in = x.shape[1]
+    C_in = x.shape[-1]
     h = _channel_rms_norm(x, p["norm1"]["gamma"], C_in)
     h = jax.nn.silu(h)
     h = _causal_conv3d(p["conv1"], h, io)
-    C_mid = h.shape[1]
+    C_mid = h.shape[-1]
     h = _channel_rms_norm(h, p["norm2"]["gamma"], C_mid)
     h = jax.nn.silu(h)
     h = _causal_conv3d(p["conv2"], h, io)
-    short = x if p.get("shortcut") is None else _conv3d(p["shortcut"], x)
+    short = x if p.get("shortcut") is None else _conv1_cl(p["shortcut"], x)
     return h + short
 
 
 def _attn_block(p, x):
-    """Single-head per-frame spatial attention (wan2pt1.py:218-248)."""
-    B, C, T, H, W = x.shape
+    """Single-head per-frame spatial attention (wan2pt1.py:218-248).
+    x: (B, T, H, W, C)."""
+    B, T, H, W, C = x.shape
     h = _channel_rms_norm(x, p["norm"]["gamma"], C)
-    h = rearrange(h, "b c t h w -> (b t) c h w")
-    qkv = _conv2d(p["to_qkv"], h)                       # (BT, 3C, H, W)
-    q, k, v = jnp.split(rearrange(qkv, "n c h w -> n (h w) c"), 3, axis=-1)
+    qkv = _conv1_cl(p["to_qkv"], h)                       # (B,T,H,W,3C)
+    qkv = qkv.reshape(B * T, H * W, 3 * C)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
     logits = jnp.einsum("nld,nmd->nlm", q, k,
                         preferred_element_type=jnp.float32) * (C ** -0.5)
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    o = jnp.einsum("nlm,nmd->nld", probs, v)
-    o = rearrange(o, "n (h w) c -> n c h w", h=H)
-    o = _conv2d(p["proj"], o)
-    return x + rearrange(o, "(b t) c h w -> b c t h w", b=B)
+    o = jnp.einsum("nlm,nmd->nld", probs, v).reshape(B, T, H, W, C)
+    return x + _conv1_cl(p["proj"], o)
 
 
 def _spatial_upsample(p, x):
     """nearest-exact 2x + Conv2d(dim, dim//2, 3) (wan2pt1.py:93-96)."""
-    B, C, T, H, W = x.shape
-    h = rearrange(x, "b c t h w -> (b t) c h w")
-    h = jnp.repeat(jnp.repeat(h, 2, axis=2), 2, axis=3)
-    h = _conv2d(p["conv"], h, pad=(1, 1))
-    return rearrange(h, "(b t) c h w -> b c t h w", b=B)
+    B, T, H, W, C = x.shape
+    h = x.reshape(B * T, H, W, C)
+    h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
+    h = _conv2d_cl(p["conv"]["w"], p["conv"]["b"], h)
+    return h.reshape(B, T, 2 * H, 2 * W, -1)
 
 
 def _spatial_downsample(p, x):
     """ZeroPad2d((0,1,0,1)) + Conv2d(dim, dim, 3, stride 2) (wan2pt1.py:99-102)."""
-    B, C, T, H, W = x.shape
-    h = rearrange(x, "b c t h w -> (b t) c h w")
-    h = jnp.pad(h, ((0, 0), (0, 0), (0, 1), (0, 1)))
-    h = jax.lax.conv_general_dilated(
-        h, p["conv"]["w"].astype(h.dtype), window_strides=(2, 2),
-        padding=[(0, 0), (0, 0)], dimension_numbers=("NCHW", "OIHW", "NCHW"))
-    h = h + p["conv"]["b"].astype(h.dtype)[None, :, None, None]
-    return rearrange(h, "(b t) c h w -> b c t h w", b=B)
+    B, T, H, W, C = x.shape
+    h = x.reshape(B * T, H, W, C)
+    h = _conv2d_cl(p["conv"]["w"], p["conv"]["b"], h, stride=(2, 2),
+                   pad=[(0, 1), (0, 1)])
+    return h.reshape(B, T, *h.shape[1:])
 
 
 def _upsample3d(p, x, io: _CacheIO):
     """Resample upsample3d (wan2pt1.py:96,109-135): temporal doubling via a
     2C-channel causal conv + interleave, then spatial 2x. First chunk bypasses
     the temporal conv entirely ('Rep' rule)."""
-    B, C, T, H, W = x.shape
+    B, T, H, W, C = x.shape
     key, cache = io.pull(CACHE_T, x)
     if not io.first:
-        x_in = jnp.concatenate([cache, x], axis=2)
-        io.push(key, x_in[:, :, -CACHE_T:])
-        y = _conv3d(p["time_conv"], x_in)               # (B, 2C, T, H, W)
-        y = y.reshape(B, 2, C, T, H, W)
-        x = jnp.stack([y[:, 0], y[:, 1]], axis=3).reshape(B, C, 2 * T, H, W)
+        x_in = jnp.concatenate([cache, x], axis=1)
+        io.push(key, x_in[:, -CACHE_T:])
+        y = _conv3d_cl(p["time_conv"], x_in)              # (B, T, H, W, 2C)
+        x = jnp.stack([y[..., :C], y[..., C:]], axis=2
+                      ).reshape(B, 2 * T, H, W, C)
     else:
         # frame 0 is excluded from the time_conv stream; cache stays zeros
         io.push(key, cache)
@@ -218,12 +260,12 @@ def _downsample3d(p, x, io: _CacheIO):
     key = f"c{io.counter}"
     io.counter += 1
     if io.first:
-        io.push(key, x[:, :, -1:])
+        io.push(key, x[:, -1:])
         return x
     cache = io.cache[key]
-    x_in = jnp.concatenate([cache, x], axis=2)
-    io.push(key, x[:, :, -1:])
-    return _conv3d(p["time_conv"], x_in, stride=(2, 1, 1))
+    x_in = jnp.concatenate([cache, x], axis=1)
+    io.push(key, x[:, -1:])
+    return _conv3d_cl(p["time_conv"], x_in, t_stride=2)
 
 
 # ---------------------------------------------------------------------------
@@ -246,7 +288,7 @@ def decoder_apply(params, x, cache: Optional[Dict], first: bool):
             h = _upsample3d(layer, h, io)
         else:
             h = _spatial_upsample(layer, h)
-    h = _channel_rms_norm(h, params["head_norm"]["gamma"], h.shape[1])
+    h = _channel_rms_norm(h, params["head_norm"]["gamma"], h.shape[-1])
     h = jax.nn.silu(h)
     h = _causal_conv3d(params["head_conv"], h, io)
     return h, io.cache
@@ -265,7 +307,7 @@ def encoder_apply(params, x, cache: Optional[Dict], first: bool):
             h = _spatial_downsample(layer, h)
     for blk in params["middle"]:
         h = _attn_block(blk, h) if "to_qkv" in blk else _resblock(blk, h, io)
-    h = _channel_rms_norm(h, params["head_norm"]["gamma"], h.shape[1])
+    h = _channel_rms_norm(h, params["head_norm"]["gamma"], h.shape[-1])
     h = jax.nn.silu(h)
     h = _causal_conv3d(params["head_conv"], h, io)
     return h, io.cache
@@ -285,33 +327,36 @@ def _latent_scale():
 def vae_decode(params, z, chunk: int = 1):
     """Normalized latent (B, 16, T_lat, h, w) -> video (B, 3, 1+4*(T_lat-1),
     8h, 8w) in [-1, 1]. Streams `chunk` latent frames per scan step
-    (reference decodes frame-by-frame, wan2pt1.py:520-537)."""
+    (reference decodes frame-by-frame, wan2pt1.py:520-537). Channels-last
+    internally; the weight relayout happens once, outside the scan."""
     mean, std = _latent_scale()
     z = z.astype(jnp.float32) * std + mean
     dtype = params["conv2"]["w"].dtype
-    z = z.astype(dtype)
-    x = _conv3d(params["conv2"], z)                     # 1x1x1 (z -> z)
+    params = _fast_params(params)
+    x = jnp.moveaxis(z.astype(dtype), 1, -1)            # (B, T, h, w, C)
+    x = _conv1_cl(params["conv2"], x)                   # 1x1x1 (z -> z)
 
-    first, rest = x[:, :, :1], x[:, :, 1:]
+    first, rest = x[:, :1], x[:, 1:]
     out0, cache = decoder_apply(params["decoder"], first, None, first=True)
 
-    T_rest = rest.shape[2]
+    T_rest = rest.shape[1]
     if T_rest == 0:
-        return out0.astype(jnp.float32)
+        return jnp.moveaxis(out0, -1, 1).astype(jnp.float32)
     n_chunks = T_rest // chunk
     assert n_chunks * chunk == T_rest, \
         f"T_lat-1={T_rest} must be divisible by chunk={chunk}"
     frames = jnp.moveaxis(
-        rest.reshape(rest.shape[0], rest.shape[1], n_chunks, chunk,
-                     *rest.shape[3:]), 2, 0)            # (n, B, C, chunk, h, w)
+        rest.reshape(rest.shape[0], n_chunks, chunk, *rest.shape[2:]),
+        1, 0)                                           # (n, B, chunk, h, w, C)
 
     def body(cache, fr):
         out, cache = decoder_apply(params["decoder"], fr, cache, first=False)
         return cache, out
 
     _, outs = jax.lax.scan(body, cache, frames)
-    rest_out = rearrange(outs, "n b c t h w -> b c (n t) h w")
-    return jnp.concatenate([out0, rest_out], axis=2).astype(jnp.float32)
+    rest_out = rearrange(outs, "n b t h w c -> b (n t) h w c")
+    out = jnp.concatenate([out0, rest_out], axis=1)
+    return jnp.moveaxis(out, -1, 1).astype(jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -321,18 +366,19 @@ def vae_encode(params, video):
     frames per step after the first frame (wan2pt1.py:479-510)."""
     window = 4
     dtype = params["encoder"]["conv1"]["w"].dtype
-    x = video.astype(dtype)
-    T = x.shape[2]
+    params = _fast_params(params)
+    x = jnp.moveaxis(video.astype(dtype), 1, -1)        # (B, T, H, W, 3)
+    T = x.shape[1]
     assert (T - 1) % window == 0, f"(T-1) must be divisible by {window}"
 
-    out0, cache = encoder_apply(params["encoder"], x[:, :, :1], None,
+    out0, cache = encoder_apply(params["encoder"], x[:, :1], None,
                                 first=True)
     n_chunks = (T - 1) // window
     if n_chunks > 0:
-        rest = x[:, :, 1:]
+        rest = x[:, 1:]
         frames = jnp.moveaxis(
-            rest.reshape(rest.shape[0], rest.shape[1], n_chunks, window,
-                         *rest.shape[3:]), 2, 0)
+            rest.reshape(rest.shape[0], n_chunks, window, *rest.shape[2:]),
+            1, 0)
 
         def body(cache, fr):
             out, cache = encoder_apply(params["encoder"], fr, cache,
@@ -341,13 +387,13 @@ def vae_encode(params, video):
 
         _, outs = jax.lax.scan(body, cache, frames)
         out = jnp.concatenate(
-            [out0, jnp.moveaxis(outs, 0, 2).reshape(
-                out0.shape[0], out0.shape[1], -1, *out0.shape[3:])], axis=2)
+            [out0, rearrange(outs, "n b t h w c -> b (n t) h w c")], axis=1)
     else:
         out = out0
 
-    moments = _conv3d(params["conv1"], out)             # 1x1x1 (2z -> 2z)
-    mu = moments[:, :params["conv1"]["w"].shape[0] // 2]
+    moments = _conv1_cl(params["conv1"], out)           # 1x1x1 (2z -> 2z)
+    mu = moments[..., :moments.shape[-1] // 2]
+    mu = jnp.moveaxis(mu, -1, 1)                        # (B, z, T, h, w)
     mean, std = _latent_scale()
     return ((mu.astype(jnp.float32) - mean) / std)
 
