@@ -91,3 +91,35 @@ def test_rmsrope_pallas_norm_only(data):
                           block_l=128)
     np.testing.assert_allclose(np.asarray(out, jnp.float32),
                                np.asarray(ref, jnp.float32), atol=2e-2)
+
+
+def test_mln_quant_out_matches_quantize_rows():
+    """quant_out=True emits the same int8/scales as LN followed by the
+    standalone row quantizer (the fusion it replaces)."""
+    import numpy as _np
+    from turbodiffusion_tpu.ops.fused_norm import (
+        _mln_pallas, modulated_layer_norm_ref)
+    B, L, D = 1, 192, 128
+    rng = _np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(B, L, D), jnp.float32)
+    ms = jnp.asarray(rng.randn(B, D), jnp.float32)
+    mb = jnp.asarray(rng.randn(B, D), jnp.float32)
+
+    xq, rs = _mln_pallas(x, ms, mb, None, None, 1e-6, interpret=True,
+                         quant_out=True)
+    y = modulated_layer_norm_ref(x, ms[:, None], mb[:, None], None, None,
+                                 1e-6).astype(jnp.float32)
+    amax = jnp.max(jnp.abs(y), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    want_q = jnp.round(y / scale)
+    _np.testing.assert_allclose(_np.asarray(rs), _np.asarray(scale),
+                                rtol=1e-5)
+    # int8 rounding boundaries: allow off-by-one on ties
+    diff = _np.abs(_np.asarray(xq, _np.int32) - _np.asarray(want_q, _np.int32))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.01
+
+    # dequantized product is close to the float LN output
+    deq = _np.asarray(xq, _np.float32) * _np.asarray(rs)
+    _np.testing.assert_allclose(deq, _np.asarray(y), atol=float(
+        _np.abs(_np.asarray(y)).max()) / 100)

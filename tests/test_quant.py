@@ -134,3 +134,30 @@ def test_rowquant_pallas_matches_jnp():
     # round-to-nearest ties may differ by 1 ulp between lowerings
     assert np.abs(np.asarray(xq, np.int32) -
                   np.asarray(xq_ref, np.int32)).max() <= 1
+
+
+def test_postscale_pallas_gate_residual_epilogue():
+    """The fused `residual + out * gate` epilogue (the AdaLN-gated
+    transformer residual) == the unfused composition."""
+    from turbodiffusion_tpu.ops.quant import (
+        int8_gemm_postscale_pallas, quantize_rows_int8)
+    kx, kw = jax.random.split(jax.random.PRNGKey(7))
+    x = jax.random.normal(kx, (200, 256), jnp.bfloat16)
+    w = jax.random.normal(kw, (256, 384))
+    b = jax.random.normal(jax.random.PRNGKey(8), (384,))
+    gate = jax.random.normal(jax.random.PRNGKey(9), (384,), jnp.float32)
+    res = jax.random.normal(jax.random.PRNGKey(10), (200, 384), jnp.float32)
+    wq, ws = quantize_int8_postscale(w)
+    xq, rs = quantize_rows_int8(x)
+
+    base = (jax.lax.dot_general(
+        xq, wq, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32).astype(jnp.float32)
+        * rs * ws[None, :] + b[None, :])
+    want = base * gate[None, :] + res
+
+    out = int8_gemm_postscale_pallas(xq, rs, wq, ws, bias=b, has_bias=True,
+                                     out_dtype=jnp.float32, interpret=True,
+                                     gate=gate, residual=res)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=1e-5, atol=1e-4)

@@ -58,7 +58,21 @@ def _use_fused_sla(p, cfg: WanConfig) -> bool:
             and context_parallel_size(get_mesh()) <= 1)
 
 
-def _self_attention(p, x, rope_cs, cfg: WanConfig):
+def _prequantized(x):
+    """x may be a (int8, row_scale) pair emitted by the quant-out fused LN."""
+    return isinstance(x, tuple)
+
+
+def _lin_q(p, x, act=None):
+    """linear over a maybe-prequantized activation."""
+    if _prequantized(x):
+        from turbodiffusion_tpu.ops.quant import int8_linear_prequant
+        return int8_linear_prequant(x[0], x[1], p, act=act)
+    return linear_maybe_quant(p, x, act=act)
+
+
+def _self_attention(p, x, rope_cs, cfg: WanConfig, gate=None,
+                    residual=None):
     """WanSelfAttention (wan2pt1.py:215-277): QKV + RMSNorm-QK + RoPE + attn.
 
     The RMSNorm (full-dim) + rotate-half RoPE on Q/K run as one fused Pallas
@@ -66,8 +80,10 @@ def _self_attention(p, x, rope_cs, cfg: WanConfig):
     round-trips per layer at 480p geometry. On single-chip TPU the whole
     SageSLA front-end (norm+rope+fold+pool+quant) is fused further
     (sla_attention_fused)."""
-    B, Lx, D = x.shape
+    xa = x[0] if _prequantized(x) else x
+    B, Lx = xa.shape[0], xa.shape[1]
     H, Dh = cfg.num_heads, cfg.head_dim
+    D = H * Dh
     cosF, sinF = rope_cs
     fused_sla = _use_fused_sla(p, cfg)
 
@@ -75,13 +91,13 @@ def _self_attention(p, x, rope_cs, cfg: WanConfig):
         # fused-QKV GEMM (one activation quantization, one MXU launch);
         # the fused SLA path reads the three column groups via BlockSpec
         # offsets — no split copies
-        qkv = linear_maybe_quant(p["qkv"], x)
+        qkv = _lin_q(p["qkv"], x)
         if not fused_sla:
             q_proj, k_proj, v_proj = jnp.split(qkv, 3, axis=-1)
     else:
-        q_proj = linear_maybe_quant(p["q"], x)
-        k_proj = linear_maybe_quant(p["k"], x)
-        v_proj = linear_maybe_quant(p["v"], x)
+        q_proj = _lin_q(p["q"], x)
+        k_proj = _lin_q(p["k"], x)
+        v_proj = _lin_q(p["v"], x)
 
     if fused_sla:
         from turbodiffusion_tpu.ops.attention import sla_attention_fused
@@ -100,8 +116,16 @@ def _self_attention(p, x, rope_cs, cfg: WanConfig):
         if "w_int8" in p["o"] and p["o"]["scale"].ndim == 1:
             from turbodiffusion_tpu.ops.quant import int8_linear_prequant
             xq, rs = unfold_quant(o_planes, Lx)
-            return int8_linear_prequant(xq, rs, p["o"])
-        return linear_maybe_quant(p["o"], unfold_planes(o_planes, Lx))
+            if gate is not None and B == 1:
+                return int8_linear_prequant(xq, rs, p["o"],
+                                            gate=gate.reshape(-1),
+                                            residual=residual)
+            y = int8_linear_prequant(xq, rs, p["o"])
+            if gate is not None:
+                y = residual + y * gate.astype(y.dtype)
+            return y
+        return linear_maybe_quant(p["o"], unfold_planes(o_planes, Lx),
+                                  gate=gate, residual=residual)
 
     q = rmsnorm_rope(q_proj, p["norm_q"]["scale"], cosF, sinF,
                      num_heads=H, eps=cfg.eps,
@@ -118,7 +142,8 @@ def _self_attention(p, x, rope_cs, cfg: WanConfig):
     v = constrain(v, ("data", "context", None, None))
     o = ulysses_attention(q, k, v, cfg.attention, proj_l=p.get("proj_l"))
     o = constrain(o, ("data", "context", None, None))
-    return linear_maybe_quant(p["o"], o.reshape(B, Lx, D))
+    return linear_maybe_quant(p["o"], o.reshape(B, Lx, D), gate=gate,
+                              residual=residual)
 
 
 def _cross_attention(p, x, context, cfg: WanConfig, img_context=None):
@@ -150,12 +175,13 @@ def _cross_attention(p, x, context, cfg: WanConfig, img_context=None):
     return linear_maybe_quant(p["o"], o.reshape(B, Lx, D))
 
 
-def _ffn(p, x):
+def _ffn(p, x, gate=None, residual=None):
     """Linear -> GELU(tanh) -> Linear (wan2pt1.py:364); the gelu rides the
-    fc1 GEMM epilogue on the quantized path."""
-    return linear_maybe_quant(p["fc2"],
-                              linear_maybe_quant(p["fc1"], x,
-                                                 act="gelu_tanh"))
+    fc1 GEMM epilogue on the quantized path; fc1 accepts a prequantized
+    (int8, scale) pair from the quant-out fused LN; the AdaLN-gated
+    residual rides the fc2 epilogue."""
+    return linear_maybe_quant(p["fc2"], _lin_q(p["fc1"], x, act="gelu_tanh"),
+                              gate=gate, residual=residual)
 
 
 def wan_block(p, x, e0_B6D, rope_cs, context, cfg: WanConfig,
@@ -167,12 +193,21 @@ def wan_block(p, x, e0_B6D, rope_cs, context, cfg: WanConfig,
     e = p["modulation"].astype(jnp.float32)[None] + e0_B6D  # (B, 6, D) fp32
     e0, e1, e2, e3, e4, e5 = [e[:, i:i + 1] for i in range(6)]  # each (B,1,D)
 
-    y = _self_attention(p["self_attn"],
+    # quant-out fused LN: when the consumer GEMMs are postscale-int8 (and
+    # we're not under forward-mode AD), the LN emits int8 rows directly —
+    # the standalone row-quant pass is a full HBM round trip each
+    sa_l = p["self_attn"].get("qkv", p["self_attn"].get("q", {}))
+    import jax as _jax
+    qout = ("w_int8" in sa_l and sa_l["scale"].ndim == 1
+            and not cfg.attention.jvp_mode
+            and not cfg.attention.use_reference_impl
+            and _jax.default_backend() == "tpu")
+
+    x = _self_attention(p["self_attn"],
                         modulated_layer_norm(
-                            x, e1, e0, eps=cfg.eps,
+                            x, e1, e0, eps=cfg.eps, quant_out=qout,
                             force_ref=cfg.attention.jvp_mode),
-                        rope_cs, cfg)
-    x = x + y * e2.astype(x.dtype)
+                        rope_cs, cfg, gate=e2, residual=x)
 
     if cfg.cross_attn_norm:
         n3 = modulated_layer_norm(x, weight=p["norm3"]["scale"],
@@ -183,9 +218,11 @@ def wan_block(p, x, e0_B6D, rope_cs, context, cfg: WanConfig,
     x = x + _cross_attention(p["cross_attn"], n3, context, cfg,
                              img_context=img_context)
 
-    y = _ffn(p["ffn"], modulated_layer_norm(
-        x, e4, e3, eps=cfg.eps, force_ref=cfg.attention.jvp_mode))
-    x = x + y * e5.astype(x.dtype)
+    fc1 = p["ffn"]["fc1"]
+    qout_ffn = (qout and "w_int8" in fc1 and fc1["scale"].ndim == 1)
+    x = _ffn(p["ffn"], modulated_layer_norm(
+        x, e4, e3, eps=cfg.eps, quant_out=qout_ffn,
+        force_ref=cfg.attention.jvp_mode), gate=e5, residual=x)
     return x
 
 

@@ -65,8 +65,9 @@ def modulated_layer_norm_ref(x, mod_scale=None, mod_shift=None, weight=None,
     return (y.astype(jnp.float32) * (1.0 + ms) + mb).astype(x.dtype)
 
 
-def _mln_kernel(x_ref, ms_ref, mb_ref, w_ref, b_ref, o_ref, *, eps: float,
-                has_mod: bool, has_w: bool, has_b: bool):
+def _mln_kernel(x_ref, ms_ref, mb_ref, w_ref, b_ref, o_ref, rs_ref,
+                *, eps: float, has_mod: bool, has_w: bool, has_b: bool,
+                quant: bool, out_dtype):
     x = x_ref[0].astype(jnp.float32)                     # (TL, D)
     mean = jnp.mean(x, axis=-1, keepdims=True)
     xc = x - mean
@@ -76,16 +77,26 @@ def _mln_kernel(x_ref, ms_ref, mb_ref, w_ref, b_ref, o_ref, *, eps: float,
         y = y * w_ref[0].astype(jnp.float32)
     if has_b:
         y = y + b_ref[0].astype(jnp.float32)
-    y = y.astype(o_ref.dtype)                            # WanLayerNorm cast-out
+    y = y.astype(out_dtype)                              # WanLayerNorm cast-out
     if has_mod:
         y = (y.astype(jnp.float32) * (1.0 + ms_ref[0].astype(jnp.float32))
              + mb_ref[0].astype(jnp.float32))
-    o_ref[0] = y.astype(o_ref.dtype)
+    if quant:
+        # per-row int8 for the downstream W8A8 GEMM — saves the standalone
+        # quantize_rows pass (a full HBM round trip over (L, D))
+        yf = y.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(yf), axis=-1, keepdims=True)
+        scale = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
+        o_ref[0] = jnp.round(yf * (1.0 / scale)).astype(jnp.int8)
+        rs_ref[0] = scale
+    else:
+        o_ref[0] = y.astype(out_dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "interpret", "block_l"))
+@functools.partial(jax.jit, static_argnames=("eps", "interpret", "block_l",
+                                              "quant_out"))
 def _mln_pallas(x, ms, mb, w, b, eps: float, interpret: bool = False,
-                block_l: int = 512):
+                block_l: int = 512, quant_out: bool = False):
     B, L, D = x.shape
     TL = min(block_l, L)
     grid = (B, _cdiv(L, TL))
@@ -118,15 +129,31 @@ def _mln_pallas(x, ms, mb, w, b, eps: float, interpret: bool = False,
         if has_b:
             b_ref = refs[idx]
             idx += 1
-        _mln_kernel(x_ref, ms_ref, mb_ref, w_ref, b_ref, refs[-1], eps=eps,
-                    has_mod=has_mod, has_w=has_w, has_b=has_b)
+        o_ref = refs[-2] if quant_out else refs[-1]
+        rs_ref = refs[-1] if quant_out else None
+        _mln_kernel(x_ref, ms_ref, mb_ref, w_ref, b_ref, o_ref, rs_ref,
+                    eps=eps, has_mod=has_mod, has_w=has_w, has_b=has_b,
+                    quant=quant_out, out_dtype=x.dtype)
 
+    o_spec = pl.BlockSpec((1, TL, D), lambda b_, i: (b_, i, 0),
+                          memory_space=pltpu.VMEM)
+    if quant_out:
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=specs,
+            out_specs=(o_spec,
+                       pl.BlockSpec((1, TL, 1), lambda b_, i: (b_, i, 0),
+                                    memory_space=pltpu.VMEM)),
+            out_shape=(jax.ShapeDtypeStruct((B, L, D), jnp.int8),
+                       jax.ShapeDtypeStruct((B, L, 1), jnp.float32)),
+            interpret=interpret,
+        )(*args)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=specs,
-        out_specs=pl.BlockSpec((1, TL, D), lambda b_, i: (b_, i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=o_spec,
         out_shape=jax.ShapeDtypeStruct((B, L, D), x.dtype),
         interpret=interpret,
     )(*args)
@@ -134,20 +161,31 @@ def _mln_pallas(x, ms, mb, w, b, eps: float, interpret: bool = False,
 
 def modulated_layer_norm(x, mod_scale=None, mod_shift=None, weight=None,
                          bias=None, eps: float = 1e-6,
-                         interpret: bool = False, force_ref: bool = False):
+                         interpret: bool = False, force_ref: bool = False,
+                         quant_out: bool = False):
     """Fused LN(+affine)(+AdaLN modulate). Pallas on TPU, jnp elsewhere.
     force_ref: forward-mode (jax.jvp) passes must use the jnp chain — the
-    generic Pallas JVP rule does not cover this kernel."""
+    generic Pallas JVP rule does not cover this kernel.
+    quant_out: additionally emit per-row INT8 + (B, L, 1) fp32 scales for a
+    downstream W8A8 GEMM (int8_linear_prequant) — the standalone
+    quantize_rows pass costs a full HBM round trip per use."""
     D = x.shape[-1]
     on_tpu = jax.default_backend() == "tpu" or interpret
     if force_ref or not on_tpu or D % 128 != 0:
-        return modulated_layer_norm_ref(x, mod_scale, mod_shift, weight,
-                                        bias, eps)
+        y = modulated_layer_norm_ref(x, mod_scale, mod_shift, weight,
+                                     bias, eps)
+        if not quant_out:
+            return y
+        yf = y.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(yf), axis=-1, keepdims=True)
+        scale = jnp.maximum(amax, 1e-8) / 127.0
+        return jnp.round(yf / scale).astype(jnp.int8), scale
     ms = None if mod_scale is None else \
         mod_scale.reshape(x.shape[0], D).astype(jnp.float32)
     mb = None if mod_shift is None else \
         mod_shift.reshape(x.shape[0], D).astype(jnp.float32)
-    return _mln_pallas(x, ms, mb, weight, bias, eps, interpret=interpret)
+    return _mln_pallas(x, ms, mb, weight, bias, eps, interpret=interpret,
+                       quant_out=quant_out)
 
 
 # ---------------------------------------------------------------------------

@@ -130,9 +130,9 @@ def quantize_rows_int8_pallas(x2, interpret: bool = False):
     )(x2)
 
 
-def _postscale_gemm_kernel(xq_ref, wq_ref, rs_ref, cs_ref, bias_ref, o_ref,
-                           acc_scr, *, n_k: int, act: Optional[str],
-                           has_bias: bool):
+def _postscale_gemm_kernel(xq_ref, wq_ref, rs_ref, cs_ref, bias_ref,
+                           gate_ref, res_ref, o_ref, acc_scr, *, n_k: int,
+                           act: Optional[str], has_bias: bool):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -145,15 +145,20 @@ def _postscale_gemm_kernel(xq_ref, wq_ref, rs_ref, cs_ref, bias_ref, o_ref,
 
     @pl.when(k == n_k - 1)
     def _():
-        # dequant epilogue in-register: rank-1 scales, bias, activation, cast
-        # (the reference's per-K-block rescale collapses to one postscale
-        # here because scales are K-constant — tilelang_w8a8.py:78-117)
+        # dequant epilogue in-register: rank-1 scales, bias, activation,
+        # optional AdaLN gate + residual add, cast (the reference's
+        # per-K-block rescale collapses to one postscale here because
+        # scales are K-constant — tilelang_w8a8.py:78-117)
         out = acc_scr[...].astype(jnp.float32) * rs_ref[...] * \
             cs_ref[0][None, :]
         if has_bias:
             out = out + bias_ref[0][None, :].astype(jnp.float32)
         if act == "gelu_tanh":
             out = jax.nn.gelu(out, approximate=True)
+        if gate_ref is not None:
+            out = out * gate_ref[0][None, :].astype(jnp.float32)
+        if res_ref is not None:
+            out = out + res_ref[...].astype(jnp.float32)
         o_ref[...] = out.astype(o_ref.dtype)
 
 
@@ -176,13 +181,19 @@ def int8_gemm_postscale_pallas(xq, row_scale, wq, col_scale, bias=None,
                                act: Optional[str] = None,
                                has_bias: bool = False,
                                out_dtype=jnp.bfloat16,
-                               interpret: bool = False):
-    """W8A8 GEMM: out = act((xq @ wq) * row_scale * col_scale + bias).
+                               interpret: bool = False,
+                               gate=None, residual=None):
+    """W8A8 GEMM: out = act((xq @ wq) * row_scale * col_scale + bias)
+    [* gate] [+ residual].
 
     xq: (M, K) int8; row_scale: (M, 1) fp32; wq: (K, N) int8;
     col_scale: (N,) fp32. One MXU s8xs8->s32 pass with everything else fused
     into the epilogue — the TPU analog of the reference's CuTe GEMM
     (ops/gemm/kernel.hpp:417-419) / TileLang postscale (tilelang_w8a8.py).
+    gate: optional (N,) per-column multiplier (an AdaLN gate at batch 1);
+    residual: optional (M, N) tensor added after the gate — fusing the
+    transformer residual add here saves a full write+read of the GEMM
+    output per projection.
     """
     M, K = xq.shape
     N = wq.shape[1]
@@ -190,7 +201,8 @@ def int8_gemm_postscale_pallas(xq, row_scale, wq, col_scale, bias=None,
     BM = min(1024, max(8, M))
     BN = min(512, N)
     BK = _pick_bk(K)
-    grid = (_cdiv(M, BM), _cdiv(N, BN), K // BK)
+    n_k = K // BK
+    grid = (_cdiv(M, BM), _cdiv(N, BN), n_k)
 
     in_specs = [
         pl.BlockSpec((BM, BK), lambda m, n, k: (m, k)),
@@ -198,22 +210,31 @@ def int8_gemm_postscale_pallas(xq, row_scale, wq, col_scale, bias=None,
         pl.BlockSpec((BM, 1), lambda m, n, k: (m, 0)),
         pl.BlockSpec((1, BN), lambda m, n, k: (0, n)),
     ]
+    args = [xq, wq, row_scale, col_scale.reshape(1, N)]
     if has_bias:
         in_specs.append(pl.BlockSpec((1, BN), lambda m, n, k: (0, n)))
+        args.append(bias.reshape(1, N).astype(jnp.float32))
+    has_gate = gate is not None
+    if has_gate:
+        in_specs.append(pl.BlockSpec((1, BN), lambda m, n, k: (0, n)))
+        args.append(gate.reshape(1, N).astype(jnp.float32))
+    has_res = residual is not None
+    if has_res:
+        in_specs.append(pl.BlockSpec((BM, BN), lambda m, n, k: (m, n)))
+        args.append(residual)
 
-        def kernel(xq_ref, wq_ref, rs_ref, cs_ref, bias_ref, o_ref, acc_scr):
-            _postscale_gemm_kernel(xq_ref, wq_ref, rs_ref, cs_ref, bias_ref,
-                                   o_ref, acc_scr, n_k=K // BK, act=act,
-                                   has_bias=True)
-    else:
-        def kernel(xq_ref, wq_ref, rs_ref, cs_ref, o_ref, acc_scr):
-            _postscale_gemm_kernel(xq_ref, wq_ref, rs_ref, cs_ref, None,
-                                   o_ref, acc_scr, n_k=K // BK, act=act,
-                                   has_bias=False)
-
-    # args order matches in_specs order (xq, wq, row_scale, col_scale[, bias])
-    args = [xq, wq, row_scale, col_scale.reshape(1, N)] + \
-        ([bias.reshape(1, N).astype(jnp.float32)] if has_bias else [])
+    def kernel(*refs):
+        idx = 4
+        bias_ref = gate_ref = res_ref = None
+        if has_bias:
+            bias_ref = refs[idx]; idx += 1
+        if has_gate:
+            gate_ref = refs[idx]; idx += 1
+        if has_res:
+            res_ref = refs[idx]; idx += 1
+        _postscale_gemm_kernel(refs[0], refs[1], refs[2], refs[3], bias_ref,
+                               gate_ref, res_ref, refs[idx], refs[idx + 1],
+                               n_k=n_k, act=act, has_bias=has_bias)
 
     return pl.pallas_call(
         kernel,
@@ -228,31 +249,39 @@ def int8_gemm_postscale_pallas(xq, row_scale, wq, col_scale, bias=None,
     )(*args)
 
 
-def int8_linear_prequant(xq, row_scale, p, act: Optional[str] = None):
+def int8_linear_prequant(xq, row_scale, p, act: Optional[str] = None,
+                         gate=None, residual=None):
     """Postscale W8A8 linear over a pre-quantized activation (xq int8 with
     (…,1) fp32 row scales) — used when the producer kernel already emitted
-    int8 (e.g. the fused SLA unfold)."""
+    int8 (e.g. the fused SLA unfold). gate/residual fuse the transformer
+    `residual + out * gate` into the GEMM epilogue (batch-1 gates)."""
     shape = xq.shape
     b = p.get("b")
+    N = p["w_int8"].shape[1]
+    res2 = None if residual is None else residual.reshape(-1, N)
     y = int8_gemm_postscale_pallas(
         xq.reshape(-1, shape[-1]), row_scale.reshape(-1, 1),
         p["w_int8"], p["scale"], bias=b, act=act, has_bias=b is not None,
-        out_dtype=jnp.bfloat16)
-    return y.reshape(*shape[:-1], p["w_int8"].shape[1])
+        out_dtype=jnp.bfloat16, gate=gate, residual=res2)
+    return y.reshape(*shape[:-1], N)
 
 
 def int8_linear_postscale(x, w_int8, col_scale, bias=None,
-                          act: Optional[str] = None):
-    """y = act((rowquant(x) @ w_int8) * row_scale * col_scale + bias).
-    Pallas fused-epilogue GEMM on TPU; XLA dot elsewhere."""
+                          act: Optional[str] = None,
+                          gate=None, residual=None):
+    """y = act((rowquant(x) @ w_int8) * row_scale * col_scale + bias)
+    [* gate] [+ residual]. Pallas fused-epilogue GEMM on TPU; XLA dot
+    elsewhere (gate/residual applied unfused there)."""
     shape = x.shape
     x2 = x.reshape(-1, shape[-1])
     N = w_int8.shape[1]
     if jax.default_backend() == "tpu" and x2.shape[-1] % 128 == 0:
         xq, row_scale = quantize_rows_int8_pallas(x2)
+        res2 = None if residual is None else residual.reshape(-1, N)
         y = int8_gemm_postscale_pallas(
             xq, row_scale, w_int8, col_scale,
-            bias=bias, act=act, has_bias=bias is not None, out_dtype=x.dtype)
+            bias=bias, act=act, has_bias=bias is not None, out_dtype=x.dtype,
+            gate=gate, residual=res2)
         return y.reshape(*shape[:-1], N)
     xq, row_scale = quantize_rows_int8(x2)
     acc = jax.lax.dot_general(xq, w_int8, (((1,), (0,)), ((), ())),
@@ -262,7 +291,12 @@ def int8_linear_postscale(x, w_int8, col_scale, bias=None,
         y = y + bias.astype(jnp.float32)
     if act == "gelu_tanh":
         y = jax.nn.gelu(y, approximate=True)
-    return y.reshape(*shape[:-1], N).astype(x.dtype)
+    y = y.reshape(*shape[:-1], N).astype(x.dtype)
+    if gate is not None:
+        y = y * gate.reshape((1,) * (y.ndim - 1) + (-1,)).astype(y.dtype)
+    if residual is not None:
+        y = y + residual
+    return y
 
 
 # ---------------------------------------------------------------------------
@@ -378,22 +412,38 @@ def int8_linear_block(x, w_int8, scale, bias=None, block: int = QBLOCK):
 # Dispatch + param converters
 # ---------------------------------------------------------------------------
 
-def linear_maybe_quant(p, x, act: Optional[str] = None):
+def linear_maybe_quant(p, x, act: Optional[str] = None, gate=None,
+                       residual=None):
     """Apply a linear whose params may be float, block-quant, or postscale.
     act="gelu_tanh" fuses the activation into the GEMM epilogue on the
     postscale path (a standalone gelu over the FFN hidden is a ~1.2GB HBM
-    round trip at 480p)."""
+    round trip at 480p). gate/residual fuse `residual + y * gate` (the
+    AdaLN-gated transformer residual) into the epilogue on that path."""
+    def finish(y):
+        if gate is not None:
+            y = y * gate.astype(y.dtype)
+        if residual is not None:
+            y = y + residual
+        return y
+
     if "w" in p:
         y = jnp.matmul(x, p["w"].astype(x.dtype))
         if p.get("b") is not None:
             y = y + p["b"].astype(y.dtype)
-        return jax.nn.gelu(y, approximate=True) if act == "gelu_tanh" else y
+        return finish(jax.nn.gelu(y, approximate=True)
+                      if act == "gelu_tanh" else y)
     b = p.get("b")
     if p["scale"].ndim == 1:
-        return int8_linear_postscale(x, p["w_int8"], p["scale"], bias=b,
-                                     act=act)
+        fuse_ok = gate is None or (gate.ndim >= 2 and gate.shape[0] == 1)
+        if fuse_ok:
+            g = None if gate is None else gate.reshape(-1)
+            return int8_linear_postscale(x, p["w_int8"], p["scale"], bias=b,
+                                         act=act, gate=g, residual=residual)
+        return finish(int8_linear_postscale(x, p["w_int8"], p["scale"],
+                                            bias=b, act=act))
     y = int8_linear_block(x, p["w_int8"], p["scale"], bias=b)
-    return jax.nn.gelu(y, approximate=True) if act == "gelu_tanh" else y
+    return finish(jax.nn.gelu(y, approximate=True)
+                  if act == "gelu_tanh" else y)
 
 
 def fuse_linear_params(parts):
