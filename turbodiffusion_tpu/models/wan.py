@@ -54,6 +54,10 @@ def _use_fused_sla(p, cfg: WanConfig) -> bool:
             and not a.jvp_mode
             and _jax.default_backend() == "tpu"
             and cfg.head_dim % 128 == 0
+            # head_planes needs a (TL=pool, dim) tile in VMEM; beyond
+            # dim 4096 (14B: 5120) that exceeds the 16MB scoped limit —
+            # wide models take the composable path
+            and cfg.dim <= 4096
             and a.block_q >= 128 and a.block_k >= 128
             and context_parallel_size(get_mesh()) <= 1)
 
@@ -179,8 +183,29 @@ def _ffn(p, x, gate=None, residual=None):
     """Linear -> GELU(tanh) -> Linear (wan2pt1.py:364); the gelu rides the
     fc1 GEMM epilogue on the quantized path; fc1 accepts a prequantized
     (int8, scale) pair from the quant-out fused LN; the AdaLN-gated
-    residual rides the fc2 epilogue."""
-    return linear_maybe_quant(p["fc2"], _lin_q(p["fc1"], x, act="gelu_tanh"),
+    residual rides the fc2 epilogue.
+
+    Wide models chunk the sequence through the FFN: the (L, ffn_dim) hidden
+    is ~900 MB bf16 at 14B/480p — the margin that decides whether the int8
+    14B fits ONE 16 GB chip."""
+    fc1 = p["fc1"]
+    xa = x[0] if _prequantized(x) else x
+    B, L = xa.shape[0], xa.shape[1]
+    n_ffn = fc1["w_int8"].shape[1] if "w_int8" in fc1 else fc1["w"].shape[1]
+    if L % 2 == 0 and L * n_ffn * 2 > 600_000_000:
+        half = L // 2
+
+        def body(i):
+            sl = lambda t: jax.lax.dynamic_slice_in_dim(t, i * half, half, 1)
+            xi = (sl(x[0]), sl(x[1])) if _prequantized(x) else sl(x)
+            ri = None if residual is None else sl(residual)
+            return linear_maybe_quant(p["fc2"],
+                                      _lin_q(fc1, xi, act="gelu_tanh"),
+                                      gate=gate, residual=ri)
+
+        o = jax.lax.map(body, jnp.arange(2))        # (2, B, L/2, D)
+        return jnp.swapaxes(o, 0, 1).reshape(B, L, -1)
+    return linear_maybe_quant(p["fc2"], _lin_q(fc1, x, act="gelu_tanh"),
                               gate=gate, residual=residual)
 
 

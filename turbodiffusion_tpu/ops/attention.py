@@ -185,8 +185,41 @@ def sla_attention(q, k, v, proj_l, cfg: AttentionConfig,
     the linear branch output (per head-dim, shared across heads).
     int8_qk: SageSLA mode — quantize Q/K per block to INT8 inside the sparse
     kernel (SageAttention-style), matching the reference's SpargeAttn path.
+
+    Wide models (14B: 40 heads) run the whole per-head pipeline (block map,
+    sparse kernel, linear branch) through lax.map in 8-head groups: the
+    folded per-head planes and their lane-padded (M, 1) scale tensors are
+    transient HBM that would otherwise exceed a single chip's budget.
     """
+    H = q.shape[2]
+    if (H > 16 and not cfg.use_reference_impl and not cfg.jvp_mode
+            and _use_pallas(q, cfg.block_q, cfg.block_k)):
+        G = 8 if H <= 32 else 4
+        while H % G:
+            G -= 1
+
+        def body(g, out):
+            sl = lambda x: jax.lax.dynamic_slice_in_dim(x, g * G, G, 2)
+            og = _sla_attention_impl(sl(q), sl(k), sl(v), proj_l, cfg,
+                                     int8_qk)
+            # in-place head-slab update (no stacked (n, …, G, D) buffer +
+            # final transpose copy — that pair alone is ~640 MB at 14B)
+            return jax.lax.dynamic_update_slice_in_dim(out, og, g * G, 2)
+
+        return jax.lax.fori_loop(0, H // G, body,
+                                 jnp.zeros(q.shape, q.dtype))
+    return _sla_attention_impl(q, k, v, proj_l, cfg, int8_qk)
+
+
+def _sla_attention_impl(q, k, v, proj_l, cfg: AttentionConfig,
+                        int8_qk: bool = False):
     _, lut, topk = get_block_map(q, k, cfg.sla_topk, cfg.block_q, cfg.block_k)
+
+    def _sparse_pallas(q, k, v, lut):
+        from turbodiffusion_tpu.ops.flash_pallas import flash_attention
+        return flash_attention(q, k, v, lut=lut, block_q=cfg.block_q,
+                               block_k=cfg.block_k, int8_qk=int8_qk)
+
     if cfg.jvp_mode and not cfg.use_reference_impl:
         # Forward-mode pass (sCM tangents): sparse custom_jvp wrapper (the
         # tangent gathers only LUT-selected blocks) + the jnp linear branch
@@ -202,9 +235,7 @@ def sla_attention(q, k, v, proj_l, cfg: AttentionConfig,
         b = proj_l["b"].astype(q.dtype)
         return (o_s + jnp.matmul(o_l.astype(q.dtype), w) + b).astype(q.dtype)
     if not cfg.use_reference_impl and _use_pallas(q, cfg.block_q, cfg.block_k):
-        from turbodiffusion_tpu.ops.flash_pallas import flash_attention
-        o_s = flash_attention(q, k, v, lut=lut, block_q=cfg.block_q,
-                              block_k=cfg.block_k, int8_qk=int8_qk)
+        o_s = _sparse_pallas(q, k, v, lut)
     else:
         o_s = sparse_attention_ref(q, k, v, lut, cfg.block_q, cfg.block_k)
 

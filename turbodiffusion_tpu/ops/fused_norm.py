@@ -98,7 +98,10 @@ def _mln_kernel(x_ref, ms_ref, mb_ref, w_ref, b_ref, o_ref, rs_ref,
 def _mln_pallas(x, ms, mb, w, b, eps: float, interpret: bool = False,
                 block_l: int = 512, quant_out: bool = False):
     B, L, D = x.shape
-    TL = min(block_l, L)
+    # ~10 bytes/element live in the quant path (bf16 in, f32 y, int8 out,
+    # double-buffered) — cap the row block so wide models (14B: D=5120)
+    # stay under the 16MB scoped-vmem limit
+    TL = min(block_l, max(8, (1_200_000 // D) // 8 * 8), L)
     grid = (B, _cdiv(L, TL))
     has_mod, has_w, has_b = ms is not None, w is not None, b is not None
 
@@ -250,7 +253,7 @@ def _rmsrope_pallas(x, w, cos_full, sin_full, eps: float, num_heads: int,
     B, L, HD = x.shape
     H = num_heads
     Dh = HD // H
-    TL = min(block_l, L)
+    TL = min(block_l, max(8, (1_000_000 // HD) // 8 * 8), L)
     grid = (B, _cdiv(L, TL))
     rope = cos_full is not None
 

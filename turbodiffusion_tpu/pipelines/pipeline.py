@@ -68,10 +68,16 @@ def load_dit(dit_path: Optional[str], cfg: WanConfig, seed: int = 0):
         params = wan_params_from_state_dict(sd, cfg)
     sa = params["blocks"]["self_attn"]
     if cfg.quant_linear:
+        # QKV fusion buys one shared activation quantization but costs a
+        # (L, 3*dim) bf16 intermediate — ~1 GB at dim 5120/480p, which is
+        # exactly the HBM margin when a 14B int8 model (13.9 GiB weights)
+        # runs on ONE 16 GB chip. Fuse only when the dim is small enough.
+        fuse = cfg.dim < 4096
         if "qkv" not in sa and "w_int8" not in sa["q"]:
             params["blocks"] = quantize_wan_blocks(params["blocks"],
-                                                   mode="postscale")
-        elif ("qkv" not in sa and "w_int8" in sa["q"]
+                                                   mode="postscale",
+                                                   fuse_qkv=fuse)
+        elif (fuse and "qkv" not in sa and "w_int8" in sa["q"]
               and sa["q"]["scale"].ndim == 1):
             # pre-quantized (checkpoint) postscale linears: fuse QKV at load
             from turbodiffusion_tpu.ops.quant import fuse_linear_params
