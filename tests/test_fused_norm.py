@@ -123,3 +123,38 @@ def test_mln_quant_out_matches_quantize_rows():
     deq = _np.asarray(xq, _np.float32) * _np.asarray(rs)
     _np.testing.assert_allclose(deq, _np.asarray(y), atol=float(
         _np.abs(_np.asarray(y)).max()) / 100)
+
+
+def test_fused_norm_kernels_differentiable():
+    """Reverse-mode through the Pallas fused norms (custom_vjp with
+    jnp-recompute backward) == grads through the reference chain. Training
+    traverses these on TPU — the kernels themselves have no autodiff rules
+    (pltpu.roll), so this wrapper is what keeps TPU training alive."""
+    import numpy as _np
+    from turbodiffusion_tpu.ops.fused_norm import (
+        modulated_layer_norm, modulated_layer_norm_ref, rmsnorm_rope,
+        rmsnorm_rope_ref)
+    r = _np.random.RandomState(0)
+    B, L, D = 1, 64, 128
+    x = jnp.asarray(r.randn(B, L, D), jnp.float32)
+    ms = jnp.asarray(r.randn(B, 1, D), jnp.float32)
+    mb = jnp.asarray(r.randn(B, 1, D), jnp.float32)
+    g1 = jax.grad(lambda x_: jnp.sum(
+        modulated_layer_norm(x_, ms, mb, interpret=True) ** 2))(x)
+    g2 = jax.grad(lambda x_: jnp.sum(
+        modulated_layer_norm_ref(x_, ms, mb) ** 2))(x)
+    _np.testing.assert_allclose(_np.asarray(g1), _np.asarray(g2),
+                                rtol=1e-4, atol=1e-4)
+
+    w = jnp.asarray(r.randn(D), jnp.float32)
+    cos = jnp.asarray(r.randn(L, D), jnp.float32)
+    sin = jnp.asarray(r.randn(L, D), jnp.float32)
+    g1, gw1 = jax.grad(lambda x_, w_: jnp.sum(
+        rmsnorm_rope(x_, w_, cos, sin, num_heads=1, interpret=True) ** 2),
+        argnums=(0, 1))(x, w)
+    g2, gw2 = jax.grad(lambda x_, w_: jnp.sum(
+        rmsnorm_rope_ref(x_, w_, cos, sin) ** 2), argnums=(0, 1))(x, w)
+    _np.testing.assert_allclose(_np.asarray(g1), _np.asarray(g2),
+                                rtol=1e-4, atol=1e-4)
+    _np.testing.assert_allclose(_np.asarray(gw1), _np.asarray(gw2),
+                                rtol=1e-4, atol=1e-4)

@@ -162,6 +162,34 @@ def _mln_pallas(x, ms, mb, w, b, eps: float, interpret: bool = False,
     )(*args)
 
 
+@functools.lru_cache(maxsize=None)
+def _make_mln_vjp(eps: float, has_mod: bool, has_w: bool, has_b: bool,
+                  interpret: bool):
+    """custom_vjp wrapper: Pallas forward, jnp-recompute backward. The
+    Pallas kernels have no autodiff rules (pltpu.roll etc.), so training
+    through the fused norms must not differentiate the kernel itself."""
+    def ref(x, ms, mb, w, b):
+        return modulated_layer_norm_ref(x, ms, mb, w, b, eps)
+
+    @jax.custom_vjp
+    def f(x, ms, mb, w, b):
+        msr = None if ms is None else ms.reshape(x.shape[0], x.shape[-1]
+                                                 ).astype(jnp.float32)
+        mbr = None if mb is None else mb.reshape(x.shape[0], x.shape[-1]
+                                                 ).astype(jnp.float32)
+        return _mln_pallas(x, msr, mbr, w, b, eps, interpret=interpret)
+
+    def fwd(x, ms, mb, w, b):
+        return f(x, ms, mb, w, b), (x, ms, mb, w, b)
+
+    def bwd(res, g):
+        _, vjp = jax.vjp(ref, *res)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 def modulated_layer_norm(x, mod_scale=None, mod_shift=None, weight=None,
                          bias=None, eps: float = 1e-6,
                          interpret: bool = False, force_ref: bool = False,
@@ -183,12 +211,17 @@ def modulated_layer_norm(x, mod_scale=None, mod_shift=None, weight=None,
         amax = jnp.max(jnp.abs(yf), axis=-1, keepdims=True)
         scale = jnp.maximum(amax, 1e-8) / 127.0
         return jnp.round(yf / scale).astype(jnp.int8), scale
-    ms = None if mod_scale is None else \
-        mod_scale.reshape(x.shape[0], D).astype(jnp.float32)
-    mb = None if mod_shift is None else \
-        mod_shift.reshape(x.shape[0], D).astype(jnp.float32)
-    return _mln_pallas(x, ms, mb, weight, bias, eps, interpret=interpret,
-                       quant_out=quant_out)
+    if quant_out:
+        ms = None if mod_scale is None else \
+            mod_scale.reshape(x.shape[0], D).astype(jnp.float32)
+        mb = None if mod_shift is None else \
+            mod_shift.reshape(x.shape[0], D).astype(jnp.float32)
+        # inference-only fast path (no VJP defined for the int8 outputs)
+        return _mln_pallas(x, ms, mb, weight, bias, eps, interpret=interpret,
+                           quant_out=True)
+    fn = _make_mln_vjp(eps, mod_scale is not None, weight is not None,
+                       bias is not None, interpret)
+    return fn(x, mod_scale, mod_shift, weight, bias)
 
 
 # ---------------------------------------------------------------------------
@@ -287,6 +320,42 @@ def _rmsrope_pallas(x, w, cos_full, sin_full, eps: float, num_heads: int,
     )(*args)
 
 
+@functools.lru_cache(maxsize=None)
+def _make_rmsrope_vjp(eps: float, num_heads: int, rope: bool,
+                      interpret: bool):
+    """custom_vjp wrapper: Pallas forward, jnp-recompute backward (the
+    kernel's pltpu.roll has no differentiation rule). cos/sin tables are
+    constants — zero cotangents."""
+    def ref(x, w, cosF, sinF):
+        B, L, HD = x.shape
+        if not rope:
+            from turbodiffusion_tpu.models.layers import rms_norm
+            return rms_norm(x, w, eps=eps).reshape(B, L, num_heads,
+                                                   HD // num_heads)
+        return rmsnorm_rope_ref(x, w, cosF, sinF, eps)
+
+    @jax.custom_vjp
+    def f(x, w, cosF, sinF):
+        out = _rmsrope_pallas(x, w, cosF, sinF, eps, num_heads,
+                              interpret=interpret)
+        B, L, HD = x.shape
+        return out.reshape(B, L, num_heads, HD // num_heads)
+
+    def fwd(x, w, cosF, sinF):
+        return f(x, w, cosF, sinF), (x, w, cosF, sinF)
+
+    def bwd(res, g):
+        x, w, cosF, sinF = res
+        _, vjp = jax.vjp(lambda x_, w_: ref(x_, w_, cosF, sinF), x, w)
+        dx, dw = vjp(g)
+        zc = None if cosF is None else jnp.zeros_like(cosF)
+        zs = None if sinF is None else jnp.zeros_like(sinF)
+        return dx, dw, zc, zs
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 def rmsnorm_rope(x, weight, cos_full=None, sin_full=None, *, num_heads: int,
                  eps: float = 1e-5, interpret: bool = False,
                  force_ref: bool = False):
@@ -303,6 +372,5 @@ def rmsnorm_rope(x, weight, cos_full=None, sin_full=None, *, num_heads: int,
             from turbodiffusion_tpu.models.layers import rms_norm
             return rms_norm(x, weight, eps=eps).reshape(B, L, num_heads, Dh)
         return rmsnorm_rope_ref(x, weight, cos_full, sin_full, eps)
-    out = _rmsrope_pallas(x, weight, cos_full, sin_full, eps, num_heads,
-                          interpret=interpret)
-    return out.reshape(B, L, num_heads, Dh)
+    fn = _make_rmsrope_vjp(eps, num_heads, cos_full is not None, interpret)
+    return fn(x, weight, cos_full, sin_full)
