@@ -229,3 +229,85 @@ def test_fused_linear_attention_projected_grad():
     for a, b_, name in zip(g1, g2, ("dq", "dk", "dv", "dw", "db")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=2e-3, atol=2e-3, err_msg=name)
+
+
+def test_flash_sparse_64_block_matches_ref():
+    """64-row K-blocks (the reference SLA training granularity,
+    SLA/kernel.py:247-248: BLOCK_N=64) run the gather kernel end-to-end."""
+    q, k, v = _qkv(L=300)
+    _, lut, _ = get_block_map(q, k, topk_ratio=0.5, block_q=64, block_k=64)
+    ref = sparse_attention_ref(q, k, v, lut, 64, 64)
+    out = flash_attention(q, k, v, lut=lut, block_q=64, block_k=64,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_flash_sparse_int8_64_block_close_to_fp():
+    """sagesla at 64-block granularity routes to the in-kernel-quant gather
+    kernel (the packed-metadata kernel needs 128-lane blocks)."""
+    q, k, v = _qkv(L=256)
+    _, lut, _ = get_block_map(q, k, topk_ratio=1.0, block_q=64, block_k=64)
+    ref = dense_attention_ref(q, k, v)
+    out = flash_attention(q, k, v, lut=lut, block_q=64, block_k=64,
+                          int8_qk=True, interpret=True)
+    err = np.abs(np.asarray(out) - np.asarray(ref)).max()
+    assert err < 0.12, err
+
+
+def test_v_per_channel_quant_beats_per_row():
+    """Per-channel INT8 V (the FP8-V analog, SLA/core.py:218-229): on V with
+    heterogeneous channel magnitudes the per-channel scheme must be closer
+    to the fp result than per-row."""
+    from turbodiffusion_tpu.ops.flash_pallas import quantize_v_per_channel
+    q, k, v = _qkv(L=256)
+    # channel-structured magnitudes: channel c scaled by 0.02..2.0 — per-row
+    # absmax is then dominated by the loudest channel
+    chan_scale = jnp.linspace(0.02, 2.0, v.shape[-1])
+    v = v * chan_scale
+    _, lut, _ = get_block_map(q, k, topk_ratio=1.0, block_q=128, block_k=128)
+    ref = dense_attention_ref(q, k, v)
+
+    out_row = flash_attention(q, k, v, lut=lut, int8_qk=True,
+                              v_quant="row", interpret=True)
+    out_ch = flash_attention(q, k, v, lut=lut, int8_qk=True,
+                             v_quant="channel", interpret=True)
+    err_row = np.abs(np.asarray(out_row) - np.asarray(ref)).mean()
+    err_ch = np.abs(np.asarray(out_ch) - np.asarray(ref)).mean()
+    assert err_ch < err_row, (err_ch, err_row)
+    assert err_ch < 0.05, err_ch
+
+    # the quantizer itself round-trips within int8 resolution per channel
+    vi, vs = quantize_v_per_channel(jnp.swapaxes(v, 1, 2), v.shape[1])
+    back = vi.astype(jnp.float32) * vs
+    np.testing.assert_allclose(np.asarray(back),
+                               np.asarray(jnp.swapaxes(v, 1, 2)),
+                               atol=float(jnp.max(jnp.abs(v))) / 127.0 + 1e-6)
+
+
+def test_block_granularity_quality_stable_at_fixed_coverage():
+    """VERDICT r2 #5: same topk *ratio* over coarser blocks is a different
+    attention pattern. On video-like locally-smooth attention statistics the
+    fixed-coverage quality (rel err vs dense) must be granularity-stable:
+    256-block error within 2x of 64-block error."""
+    B, L, H, D = 1, 1024, 2, 64
+    ks = jax.random.split(jax.random.PRNGKey(7), 3)
+    # locally-smooth q/k: random walk along the sequence => attention mass
+    # concentrates in contiguous spans (what trained video DiTs look like,
+    # which is why mean-pooled block scores work at all)
+    q = jnp.cumsum(jax.random.normal(ks[0], (B, L, H, D)) * 0.15, axis=1)
+    k = jnp.cumsum(jax.random.normal(ks[1], (B, L, H, D)) * 0.15, axis=1)
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True) * (D ** 0.5)
+    k = k / jnp.linalg.norm(k, axis=-1, keepdims=True) * (D ** 0.5)
+    v = jax.random.normal(ks[2], (B, L, H, D))
+    dense = dense_attention_ref(q, k, v)
+
+    def rel_err(blk):
+        _, lut, _ = get_block_map(q, k, topk_ratio=0.25, block_q=blk,
+                                  block_k=blk)
+        out = sparse_attention_ref(q, k, v, lut, blk, blk)
+        return float(jnp.linalg.norm(out - dense) / jnp.linalg.norm(dense))
+
+    errs = {blk: rel_err(blk) for blk in (64, 128, 256)}
+    assert errs[256] < 2.0 * errs[64] + 1e-3, errs
+    assert errs[128] < 2.0 * errs[64] + 1e-3, errs

@@ -198,11 +198,13 @@ def test_audio_vae_roundtrip_shapes():
     from turbodiffusion_tpu.models.ltx_audio import (
         AudioVAEConfig, audio_vae_decode, audio_vae_encode,
         audio_vae_test_config, init_audio_vae)
-    cfg = audio_vae_test_config()
+    cfg = audio_vae_test_config(ch=4, ch_mult=(1, 1, 2), z_channels=4)
     enc, dec = init_audio_vae(jax.random.PRNGKey(0), cfg)
-    mel = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 8, cfg.mel_bins))
+    # 9 = 2*4+1 mel frames: the causal x4 grid (decode target T_lat*4 - 3,
+    # audio_vae.py:382-392)
+    mel = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 9, cfg.mel_bins))
     z = audio_vae_encode(enc, cfg, mel)
-    assert z.shape == (1, cfg.z_channels, 4, cfg.mel_bins // 2)
+    assert z.shape == (1, cfg.z_channels, 3, cfg.mel_bins // 4)
     out = audio_vae_decode(dec, cfg, z)
     assert out.shape == mel.shape
     assert np.isfinite(np.asarray(out)).all()

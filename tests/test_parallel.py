@@ -79,3 +79,79 @@ def test_sharded_forward_matches_single_device():
         out = jax.jit(lambda p, x: wan_forward(p, cfg, x, t, ctx))(sp, xs)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+@requires_8_devices
+def test_ulysses_fused_sla_matches_single_device():
+    """CP-fused SageSLA front-end (VERDICT r2 #8): per-shard fused norm/rope
+    + a2a + fused pool/quant/sparse pipeline under context=2 must match the
+    single-device fused pipeline bit-for-bit (same kernels, same order)."""
+    from turbodiffusion_tpu.ops.attention import sla_attention_fused
+    from turbodiffusion_tpu.ops.sla_fused import unfold_planes
+    from turbodiffusion_tpu.parallel.ulysses import ulysses_sla_fused
+
+    mesh = make_mesh(MeshConfig(data=1, fsdp=1, context=2))
+    B, L, H, Dh = 1, 1024, 2, 128
+    HD = H * Dh
+    ks = jax.random.split(jax.random.PRNGKey(2), 4)
+    cfg = AttentionConfig(backend="sagesla", sla_topk=0.5,
+                          block_q=128, block_k=128)
+    nq_w = 1.0 + 0.1 * jax.random.normal(ks[3], (HD,))
+    nk_w = 1.0 - 0.1 * jax.random.normal(ks[3], (HD,))
+    proj_l = {"w": jnp.eye(Dh, dtype=jnp.float32) * 0.05,
+              "b": jnp.zeros((Dh,), jnp.float32)}
+
+    from turbodiffusion_tpu.ops.fused_norm import rope_cos_sin_full
+    from turbodiffusion_tpu.models.rope import rope_freqs_3d
+    freqs = rope_freqs_3d(4, 16, 16, Dh)
+    rope_cs = rope_cos_sin_full(freqs)
+
+    def mk(i):
+        return jax.random.normal(ks[i], (B, L, HD), jnp.float32) * 0.5
+
+    q_proj, k_proj, v_proj = mk(0), mk(1), mk(2)
+
+    single = sla_attention_fused(
+        q_proj, k_proj, v_proj, nq_w, nk_w, rope_cs, proj_l, cfg,
+        num_heads=H, interpret=True)
+    single = unfold_planes(single, L)
+
+    with use_mesh(mesh):
+        out = jax.jit(lambda q, k, v: ulysses_sla_fused(
+            q, k, v, nq_w, nk_w, rope_cs, proj_l, cfg, num_heads=H,
+            mesh=mesh, interpret=True))(q_proj, k_proj, v_proj)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(single, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
+@requires_8_devices
+def test_ulysses_fused_sla_qkv_fused_input():
+    """Fused-QKV GEMM output variant: column slices ride the BlockSpec."""
+    from turbodiffusion_tpu.parallel.ulysses import ulysses_sla_fused
+
+    mesh = make_mesh(MeshConfig(data=1, fsdp=1, context=2))
+    B, L, H, Dh = 1, 512, 2, 128
+    HD = H * Dh
+    ks = jax.random.split(jax.random.PRNGKey(5), 4)
+    cfg = AttentionConfig(backend="sagesla", sla_topk=1.0,
+                          block_q=128, block_k=128, linear_branch=False)
+    nq_w = jnp.ones((HD,))
+    nk_w = jnp.ones((HD,))
+    from turbodiffusion_tpu.ops.fused_norm import rope_cos_sin_full
+    from turbodiffusion_tpu.models.rope import rope_freqs_3d
+    rope_cs = rope_cos_sin_full(rope_freqs_3d(2, 16, 16, Dh))
+
+    qkv = jax.random.normal(ks[0], (B, L, 3 * HD), jnp.float32) * 0.5
+    with use_mesh(mesh):
+        out = jax.jit(lambda x: ulysses_sla_fused(
+            x, None, None, nq_w, nk_w, rope_cs, None, cfg, num_heads=H,
+            qkv_fused=True, mesh=mesh, interpret=True))(qkv)
+    sep = jnp.split(qkv, 3, axis=-1)
+    with use_mesh(mesh):
+        ref = jax.jit(lambda q, k, v: ulysses_sla_fused(
+            q, k, v, nq_w, nk_w, rope_cs, None, cfg, num_heads=H,
+            mesh=mesh, interpret=True))(*sep)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=1e-5, atol=1e-5)

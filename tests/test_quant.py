@@ -161,3 +161,72 @@ def test_postscale_pallas_gate_residual_epilogue():
                                      gate=gate, residual=res)
     np.testing.assert_allclose(np.asarray(out), np.asarray(want),
                                rtol=1e-5, atol=1e-4)
+
+
+def test_ffn_int8_chain_matches_unfused():
+    """fc1 quant-out epilogue + fc2 blockscale GEMM == quantize-between
+    reference within int8 resolution (the chain replaces the standalone
+    quantize_rows over the FFN hidden)."""
+    from turbodiffusion_tpu.ops.quant import (
+        _pick_bn_div, int8_gemm_blockact_pallas,
+        int8_gemm_postscale_qout_pallas, quantize_int8_postscale,
+        quantize_rows_int8)
+
+    rng = jax.random.PRNGKey(0)
+    ks = jax.random.split(rng, 4)
+    M, K, N = 256, 256, 768          # N has BN divisor 384
+    assert _pick_bn_div(N) == 768 or _pick_bn_div(N) >= 384
+    x = jax.random.normal(ks[0], (M, K), jnp.float32)
+    w1 = jax.random.normal(ks[1], (K, N), jnp.float32) * 0.05
+    w2 = jax.random.normal(ks[2], (N, K), jnp.float32) * 0.05
+    b1 = jax.random.normal(ks[3], (N,), jnp.float32) * 0.1
+
+    w1q, w1s = quantize_int8_postscale(w1)
+    w2q, w2s = quantize_int8_postscale(w2)
+    xq, xs = quantize_rows_int8(x)
+
+    # unfused reference: dequant fc1, gelu, requantize per row, fc2
+    h = jax.nn.gelu((xq.astype(jnp.float32) * xs) @ (
+        w1q.astype(jnp.float32) * w1s[None, :]) + b1, approximate=True)
+    hq_ref, hs_ref = quantize_rows_int8(h)
+    y_ref = (hq_ref.astype(jnp.float32) * hs_ref) @ (
+        w2q.astype(jnp.float32) * w2s[None, :])
+
+    BN = _pick_bn_div(N)
+    hq, hs = int8_gemm_postscale_qout_pallas(
+        xq, xs, w1q, w1s, bias=b1, act="gelu_tanh", has_bias=True,
+        interpret=True)
+    assert hs.shape == (M, N // BN)
+    y = int8_gemm_blockact_pallas(hq, hs, w2q, w2s, bk=BN, interpret=True,
+                                  out_dtype=jnp.float32)
+
+    # block scales are finer than the reference's per-row scale, so the
+    # chain should be at least as accurate vs the fp32 ideal
+    y_fp = h @ (w2q.astype(jnp.float32) * w2s[None, :])
+    err_chain = float(jnp.abs(y - y_fp).mean())
+    err_ref = float(jnp.abs(y_ref - y_fp).mean())
+    assert err_chain < err_ref * 1.2 + 1e-5, (err_chain, err_ref)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_fp),
+                               atol=float(jnp.abs(y_fp).max()) * 0.05)
+
+
+def test_ffn_chain_gate_residual_epilogue():
+    from turbodiffusion_tpu.ops.quant import (
+        int8_gemm_blockact_pallas, quantize_int8_postscale)
+    rng = jax.random.split(jax.random.PRNGKey(1), 4)
+    M, K, N = 128, 256, 256
+    hq = jax.random.randint(rng[0], (M, K), -127, 128, jnp.int8)
+    hs = jax.random.uniform(rng[1], (M, K // 128), jnp.float32, 0.01, 0.02)
+    w, ws = quantize_int8_postscale(
+        jax.random.normal(rng[2], (K, N), jnp.float32) * 0.05)
+    gate = jax.random.normal(rng[3], (N,), jnp.float32)
+    res = jnp.ones((M, N), jnp.float32)
+
+    base = int8_gemm_blockact_pallas(hq, hs, w, ws, bk=128, interpret=True,
+                                     out_dtype=jnp.float32)
+    fused = int8_gemm_blockact_pallas(hq, hs, w, ws, bk=128, interpret=True,
+                                      out_dtype=jnp.float32,
+                                      gate=gate, residual=res)
+    np.testing.assert_allclose(np.asarray(fused),
+                               np.asarray(base * gate[None, :] + res),
+                               rtol=1e-5, atol=1e-5)

@@ -119,3 +119,45 @@ def test_14b_sharded_forward_compiles():
         fn = jax.jit(lambda p, x, t, c: wan_forward(p, cfg, x, t, c))
         compiled = fn.lower(p_abstract, x, t, ctx).compile()
     assert compiled is not None
+
+
+def test_a14b_two_expert_memory_budget():
+    """HBM budget for the mesh-resident two-expert A14B I2V (VERDICT r2 #9):
+    eval_shape-level accounting of both experts + the 720p activation
+    envelope on a (data=1, fsdp=4, context=2) mesh must fit 16 GB/chip with
+    int8 weights — and provably must NOT in bf16, which documents why the
+    sharded pipeline quantizes (pipeline.py int8 path; the reference instead
+    CPU-offloads the idle expert, wan2.2_i2v_infer.py:91-94)."""
+    from turbodiffusion_tpu.ops.quant import quantize_wan_blocks
+    from turbodiffusion_tpu.parallel.sharding import (
+        make_mesh, per_device_param_bytes)
+
+    cfg = wan_config("Wan2.2-A14B")
+    mesh = make_mesh(MeshConfig(data=1, fsdp=4, context=2))
+
+    def build(quant):
+        p = jax.eval_shape(lambda k: init_wan_params(k, cfg),
+                           jax.random.PRNGKey(0))
+        if quant:
+            p["blocks"] = jax.eval_shape(
+                lambda b: quantize_wan_blocks(b, mode="postscale"),
+                p["blocks"])
+        return p
+
+    HBM = 16 * 1024 ** 3
+    # 720p/81f latent grid 21x90x160 -> L = 21*45*80 tokens after (1,2,2)
+    # patchify; context=2 halves the resident sequence. Envelope: ~8 live
+    # (L, dim) bf16 buffers (x, qkv planes, attn out, residuals) + the
+    # chunked FFN hidden cap (models/wan.py _ffn: 600 MB) + block map/LUT.
+    L_local = 21 * 45 * 80 // mesh.shape["context"]
+    act = 8 * L_local * cfg.dim * 2 + 600_000_000
+
+    int8_two = 2 * per_device_param_bytes(build(True), mesh)
+    bf16_two = 2 * per_device_param_bytes(build(False), mesh)
+
+    assert int8_two + act < HBM * 0.9, (
+        f"int8 two-expert budget {int8_two/2**30:.1f} GiB params + "
+        f"{act/2**30:.1f} GiB activations exceeds 16 GB/chip")
+    # bf16 two-expert params alone (~56 GB / 4) blow the budget: the int8
+    # path is load-bearing, not an optimization
+    assert bf16_two + act > HBM, bf16_two

@@ -69,6 +69,12 @@ class AttentionConfig:
     # (reference: acceleration.py:249-380, TURBOT2AV_SLA_SKIP_ZERO_LINEAR;
     # detected automatically at checkpoint load).
     linear_branch: bool = True
+    # INT8 V quantization granularity on the sagesla path: "row" (per-token)
+    # or "channel" (per-(head, channel) — the FP8-V analog; the reference
+    # sm90 path quantizes V per channel to FP8, SLA/core.py:218-229).
+    # "channel" is ~2-4x lower V-quant error at topk 0.1 because the scale
+    # is sequence-global, and costs one extra pass over V.
+    v_quant: str = "row"
 
 
 # ---------------------------------------------------------------------------

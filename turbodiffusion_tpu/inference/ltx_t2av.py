@@ -79,10 +79,23 @@ def main():
     from turbodiffusion_tpu.pipelines.av_pipeline import (
         bidirectional_av_sample, trig_student_sigmas)
 
-    cfg = LTXConfig(num_layers=args.num_layers)
-    print(f"building LTX-2 ({args.num_layers} layers, video dim "
-          f"{cfg.video_dim}, audio dim {cfg.audio_dim})")
-    params = init_ltx_params(jax.random.PRNGKey(args.seed), cfg)
+    ckpt_sd = None
+    if args.checkpoint:
+        # real weights: comfy-layout safetensors / .pth generator state dict
+        # (reference loader: run_av_inference_eval.py:112-157 via
+        # ltx_core/loader + LTXV_MODEL_COMFY_RENAMING_MAP)
+        from turbodiffusion_tpu.models.ltx import ltx_params_from_state_dict
+        from turbodiffusion_tpu.utils.checkpoint import load_torch_state_dict
+        print(f"loading generator from {args.checkpoint}")
+        ckpt_sd = load_torch_state_dict(args.checkpoint)
+        params, cfg = ltx_params_from_state_dict(ckpt_sd)
+        print(f"loaded LTX-2 ({cfg.num_layers} layers, video dim "
+              f"{cfg.video_dim}, audio dim {cfg.audio_dim})")
+    else:
+        cfg = LTXConfig(num_layers=args.num_layers)
+        print(f"building LTX-2 ({args.num_layers} layers, video dim "
+              f"{cfg.video_dim}, audio dim {cfg.audio_dim}) — random init")
+        params = init_ltx_params(jax.random.PRNGKey(args.seed), cfg)
 
     params, attn_cfgs, report = apply_turbodiffusion_acceleration(
         params, cfg, attention_type=args.attention_type,
@@ -112,6 +125,8 @@ def main():
         if args.gemma_layers:
             import dataclasses as _dc
             gcfg = _dc.replace(gcfg, num_layers=args.gemma_layers)
+        from turbodiffusion_tpu.models.gemma import (
+            connector_params_from_state_dict)
         kg1, kg2, kg3 = jax.random.split(kc, 3)
         if args.gemma_checkpoint:
             from turbodiffusion_tpu.utils.checkpoint import (
@@ -123,17 +138,37 @@ def main():
         if "feature_extractor" not in gp:
             gp["feature_extractor"] = init_feature_extractor_params(kg2, gcfg)
         ch = 30 if gcfg.hidden_size % 30 == 0 else 1   # connector 30x128
-        conn = init_connector_params(kg3, gcfg.hidden_size, heads=ch,
-                                     head_dim=gcfg.hidden_size // ch)
-        cap, _ = encode_text(args.prompt, gp, conn, gcfg,
-                             tokenizer_path=args.gemma_tokenizer,
-                             heads=ch, head_dim=gcfg.hidden_size // ch)
-        cap = cap.astype(jnp.bfloat16)
-        print(f"Gemma conditioning: caption context {cap.shape}")
+        # the video/audio connectors ship INSIDE the generator checkpoint
+        # (model.diffusion_model.{video,audio}_embeddings_connector.*,
+        # av_encoder.py:102-106)
+        conns = {}
+        for stream in ("video", "audio"):
+            pre = f"{stream}_embeddings_connector."
+            if ckpt_sd is not None and any(
+                    k.startswith("model.diffusion_model." + pre)
+                    for k in ckpt_sd):
+                sub = {k.split(pre, 1)[1]: v for k, v in ckpt_sd.items()
+                       if ("model.diffusion_model." + pre) in k}
+                conns[stream] = connector_params_from_state_dict(sub)
+            else:
+                conns[stream] = init_connector_params(
+                    jax.random.fold_in(kg3, hash(stream) % 97),
+                    gcfg.hidden_size, heads=ch,
+                    head_dim=gcfg.hidden_size // ch)
+        caps = {}
+        for stream in ("video", "audio"):
+            caps[stream], _ = encode_text(
+                args.prompt, gp, conns[stream], gcfg,
+                tokenizer_path=args.gemma_tokenizer,
+                heads=ch, head_dim=gcfg.hidden_size // ch)
+            caps[stream] = caps[stream].astype(jnp.bfloat16)
+        cap_v, cap_a = caps["video"], caps["audio"]
+        print(f"Gemma conditioning: caption context {cap_v.shape}")
     else:
         # random caption embeddings (checkpoint-free benchmark mode)
-        cap = jax.random.normal(kc, (1, 128, cfg.caption_channels),
-                                jnp.bfloat16)
+        cap_v = jax.random.normal(kc, (1, 128, cfg.caption_channels),
+                                  jnp.bfloat16)
+        cap_a = cap_v
 
     if args.mode == "student":
         sigmas = trig_student_sigmas(args.num_steps)
@@ -144,7 +179,7 @@ def main():
     def generate(params, video, audio, key):
         def gen(v, a, sigma):
             t = jnp.full((1, 1), sigma, jnp.float32)
-            return ltx_forward(params, cfg, v, a, t, t, cap, cap, grid,
+            return ltx_forward(params, cfg, v, a, t, t, cap_v, cap_a, grid,
                                attn_cfgs=attn_cfgs)
         return bidirectional_av_sample(gen, video, audio, key, sigmas=sigmas,
                                        mode=args.stepping)
@@ -179,14 +214,24 @@ def main():
         # until checkpoint configs exist; the plumbing is the deliverable.
         import numpy as np
         from turbodiffusion_tpu.models.ltx_audio import (
-            AudioVAEConfig, audio_vae_decode, init_audio_vae, init_vocoder,
-            VocoderConfig, vocoder_synthesize)
+            AudioVAEConfig, audio_unpatchify, audio_vae_decode,
+            audio_vae_params_from_state_dict, init_audio_vae, init_vocoder,
+            VocoderConfig, vocoder_params_from_state_dict,
+            vocoder_synthesize)
         from turbodiffusion_tpu.models.ltx_vae import (
-            LTXVAEConfig, init_ltx_vae, ltx_vae_decode_tiled)
+            LTXVAEConfig, init_ltx_vae, ltx_vae_decode_tiled,
+            ltx_vae_params_from_state_dict)
         from turbodiffusion_tpu.utils.video_io import save_video
 
         vcfg = LTXVAEConfig()
-        _, vdec = init_ltx_vae(jax.random.PRNGKey(10), vcfg)
+        if ckpt_sd is not None and any(k.startswith("vae.decoder.")
+                                       for k in ckpt_sd):
+            sub = {k[len("vae."):]: v for k, v in ckpt_sd.items()
+                   if k.startswith("vae.")}
+            _, vdec = ltx_vae_params_from_state_dict(sub, vcfg)
+            print("video VAE decoder loaded from checkpoint")
+        else:
+            _, vdec = init_ltx_vae(jax.random.PRNGKey(10), vcfg)
         v_lat = jnp.moveaxis(vo.reshape(1, grid[0], grid[1], grid[2],
                                         cfg.video_in_channels), -1, 1)
         frames = ltx_vae_decode_tiled(vdec, vcfg, v_lat.astype(jnp.float32),
@@ -195,15 +240,26 @@ def main():
         vp = save_video(video[0], args.save_path + ".mp4", fps=30)
         print(f"video decoded {video.shape} -> {vp}")
 
-        acfg = AudioVAEConfig()
-        _, adec = init_audio_vae(jax.random.PRNGKey(11), acfg)
-        a_lat = jnp.swapaxes(ao, 1, 2).reshape(
-            1, cfg.audio_in_channels, -1)[:, :acfg.z_channels]
-        a_lat = a_lat[:, :, :, None] * jnp.ones((1, 1, 1, acfg.mel_bins // 4),
-                                                jnp.float32)
+        if ckpt_sd is not None and any(k.startswith("audio_vae.decoder.")
+                                       for k in ckpt_sd):
+            adec, acfg = audio_vae_params_from_state_dict(ckpt_sd,
+                                                          side="decoder")
+            print("audio VAE decoder loaded from checkpoint")
+        else:
+            acfg = AudioVAEConfig()
+            _, adec = init_audio_vae(jax.random.PRNGKey(11), acfg)
+        # transformer audio tokens are the patchified (c f) latent
+        # (patchifiers.py:282-302); fold them back to (B, z, T, F_lat)
+        a_lat = audio_unpatchify(ao[..., :acfg.latent_channels].astype(
+            jnp.float32), acfg.z_channels)
         mel = audio_vae_decode(adec, acfg, a_lat)
-        vocfg = VocoderConfig()
-        voc = init_vocoder(jax.random.PRNGKey(12), vocfg)
+        if ckpt_sd is not None and any(k.startswith("vocoder.")
+                                       for k in ckpt_sd):
+            voc, vocfg = vocoder_params_from_state_dict(ckpt_sd)
+            print("vocoder loaded from checkpoint")
+        else:
+            vocfg = VocoderConfig()
+            voc = init_vocoder(jax.random.PRNGKey(12), vocfg)
         # mel from the audio VAE is (B, 2, T_mel, mel_bins) — the vocoder's
         # stereo input layout already
         wav = np.asarray(vocoder_synthesize(voc, vocfg, mel))

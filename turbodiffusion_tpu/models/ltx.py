@@ -446,6 +446,170 @@ def ltx2_sigmas(steps: int, num_tokens: int = 4096, max_shift: float = 2.05,
 
 
 # ---------------------------------------------------------------------------
+# Checkpoint import (ltx_core/loader + model_configurator.py:170-174)
+# ---------------------------------------------------------------------------
+
+COMFY_GENERATOR_PREFIX = "model.diffusion_model."
+
+
+def strip_comfy_prefix(sd, prefix: str = COMFY_GENERATOR_PREFIX):
+    """Comfy-layout safetensors keep the generator under
+    `model.diffusion_model.` (LTXV_MODEL_COMFY_RENAMING_MAP,
+    model_configurator.py:170-174). Pass-through when absent."""
+    if not any(k.startswith(prefix) for k in sd):
+        return sd
+    return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+
+def ltx_config_from_state_dict(sd, **overrides) -> LTXConfig:
+    """Infer the LTXConfig geometry from a generator state dict (dims and
+    depth from weight shapes; head_dim is fixed by the architecture:
+    128 video / 64 audio, model.py:50-68)."""
+    import numpy as _np
+
+    def shape(k):
+        return tuple(sd[k].shape)
+
+    num_layers = 1 + max(int(k.split(".")[1]) for k in sd
+                         if k.startswith("transformer_blocks."))
+    Dv, v_in = shape("patchify_proj.weight")
+    Da, a_in = shape("audio_patchify_proj.weight")
+    caption = shape("caption_projection.linear_1.weight")[1]
+    kw = dict(
+        num_layers=num_layers,
+        video_head_dim=128, video_heads=Dv // 128,
+        audio_head_dim=64, audio_heads=Da // 64,
+        video_in_channels=v_in, audio_in_channels=a_in,
+        video_out_channels=shape("proj_out.weight")[0],
+        audio_out_channels=shape("audio_proj_out.weight")[0],
+        caption_channels=caption,
+        cross_attention_dim=shape(
+            "transformer_blocks.0.attn2.to_k.weight")[1],
+        audio_cross_attention_dim=shape(
+            "transformer_blocks.0.audio_attn2.to_k.weight")[1],
+    )
+    kw.update(overrides)
+    return LTXConfig(**kw)
+
+
+def ltx_params_from_state_dict(sd, cfg: Optional[LTXConfig] = None,
+                               dtype=jnp.bfloat16):
+    """torch LTXModel state dict -> (params, cfg).
+
+    Key layout (model.py:135-176, transformer.py:110-178, attention.py:166-173,
+    adaln.py:20-26, text_projection.py:14-21, feed_forward.py:12 /
+    gelu_approx.py:7, timestep_embedding.py:130-134):
+      patchify_proj.{weight,bias}; adaln_single.emb.timestep_embedder.
+      linear_{1,2}.* + adaln_single.linear.*; caption_projection.linear_{1,2};
+      scale_shift_table; proj_out; audio_* twins;
+      av_ca_{video,audio}_scale_shift_adaln_single, av_ca_{a2v,v2a}_gate_…;
+      transformer_blocks.{i}.{attn1,attn2,audio_attn1,audio_attn2,
+      audio_to_video_attn,video_to_audio_attn}.{to_q,to_k,to_v,to_out.0,
+      q_norm,k_norm}; …{ff,audio_ff}.net.{0.proj,2}; the four per-block
+      scale-shift tables. SLA-finetuned checkpoints may carry
+      …attention_function.local_attn.proj_l.* (acceleration.py:223-256).
+    """
+    sd = strip_comfy_prefix(sd)
+    if cfg is None:
+        cfg = ltx_config_from_state_dict(sd)
+    if dtype is not None and dtype != cfg.dtype:
+        cfg = cfg.replace(dtype=dtype)
+    dt = cfg.dtype
+
+    def lin(name, d=None):
+        p = {"w": jnp.asarray(np.asarray(sd[name + ".weight"]).T, d or dt)}
+        if name + ".bias" in sd:
+            p["b"] = jnp.asarray(sd[name + ".bias"], d or dt)
+        return p
+
+    def adaln(name):
+        return {
+            "emb_fc1": lin(name + ".emb.timestep_embedder.linear_1",
+                           jnp.float32),
+            "emb_fc2": lin(name + ".emb.timestep_embedder.linear_2",
+                           jnp.float32),
+            "linear": lin(name + ".linear", jnp.float32),
+        }
+
+    def caption(name):
+        return {"fc1": lin(name + ".linear_1"), "fc2": lin(name + ".linear_2")}
+
+    def attn(pre):
+        p = {"to_q": lin(pre + ".to_q"), "to_k": lin(pre + ".to_k"),
+             "to_v": lin(pre + ".to_v"), "to_out": lin(pre + ".to_out.0"),
+             "q_norm": jnp.asarray(sd[pre + ".q_norm.weight"], dt),
+             "k_norm": jnp.asarray(sd[pre + ".k_norm.weight"], dt)}
+        for pl in (pre + ".attention_function.local_attn.proj_l",
+                   pre + ".proj_l"):
+            if pl + ".weight" in sd:
+                p["proj_l"] = {
+                    "w": jnp.asarray(np.asarray(sd[pl + ".weight"]).T,
+                                     jnp.float32),
+                    "b": jnp.asarray(sd[pl + ".bias"], jnp.float32)}
+                break
+        return p
+
+    def ff(pre):
+        return {"fc1": lin(pre + ".net.0.proj"), "fc2": lin(pre + ".net.2")}
+
+    def table(key, d=dt):
+        return jnp.asarray(sd[key], d)
+
+    def one_block(i):
+        pre = f"transformer_blocks.{i}"
+        return {
+            "attn1": attn(pre + ".attn1"),
+            "attn2": attn(pre + ".attn2"),
+            "ff": ff(pre + ".ff"),
+            "scale_shift_table": table(pre + ".scale_shift_table"),
+            "audio_attn1": attn(pre + ".audio_attn1"),
+            "audio_attn2": attn(pre + ".audio_attn2"),
+            "audio_ff": ff(pre + ".audio_ff"),
+            "audio_scale_shift_table": table(
+                pre + ".audio_scale_shift_table"),
+            "audio_to_video_attn": attn(pre + ".audio_to_video_attn"),
+            "video_to_audio_attn": attn(pre + ".video_to_audio_attn"),
+            "scale_shift_table_a2v_ca_video": table(
+                pre + ".scale_shift_table_a2v_ca_video"),
+            "scale_shift_table_a2v_ca_audio": table(
+                pre + ".scale_shift_table_a2v_ca_audio"),
+        }
+
+    blocks = [one_block(i) for i in range(cfg.num_layers)]
+    # proj_l presence must be uniform for scan-stacking; blocks missing it
+    # get the zero init (equivalent: zero proj_l contributes nothing)
+    for a_key in ("attn1", "audio_attn1"):
+        if any("proj_l" in b[a_key] for b in blocks):
+            dh = (cfg.video_head_dim if a_key == "attn1"
+                  else cfg.audio_head_dim)
+            for b in blocks:
+                b[a_key].setdefault("proj_l", {
+                    "w": jnp.zeros((dh, dh), jnp.float32),
+                    "b": jnp.zeros((dh,), jnp.float32)})
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+
+    params = {
+        "patchify_proj": lin("patchify_proj"),
+        "audio_patchify_proj": lin("audio_patchify_proj"),
+        "adaln_single": adaln("adaln_single"),
+        "audio_adaln_single": adaln("audio_adaln_single"),
+        "av_ca_video_ss": adaln("av_ca_video_scale_shift_adaln_single"),
+        "av_ca_audio_ss": adaln("av_ca_audio_scale_shift_adaln_single"),
+        "av_ca_a2v_gate": adaln("av_ca_a2v_gate_adaln_single"),
+        "av_ca_v2a_gate": adaln("av_ca_v2a_gate_adaln_single"),
+        "caption_projection": caption("caption_projection"),
+        "audio_caption_projection": caption("audio_caption_projection"),
+        "scale_shift_table": table("scale_shift_table", jnp.float32),
+        "audio_scale_shift_table": table("audio_scale_shift_table",
+                                         jnp.float32),
+        "proj_out": lin("proj_out", jnp.float32),
+        "audio_proj_out": lin("audio_proj_out", jnp.float32),
+        "blocks": stacked,
+    }
+    return params, cfg
+
+
+# ---------------------------------------------------------------------------
 # Init
 # ---------------------------------------------------------------------------
 

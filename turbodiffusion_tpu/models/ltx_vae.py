@@ -559,9 +559,13 @@ def ltx_vae_params_from_state_dict(sd, cfg: LTXVAEConfig,
                 f"{side_name}.per_channel_statistics"),
         }
 
-    enc = side("encoder", cfg.encoder_blocks, "down_blocks")
-    dec = side("decoder", tuple(reversed(cfg.decoder_blocks)), "up_blocks")
-    if "decoder.timestep_scale_multiplier" in sd:
+    # comfy checkpoints may ship only one side (VAE_DECODER_COMFY_KEYS_FILTER
+    # vs VAE_ENCODER_COMFY_KEYS_FILTER select disjoint key sets)
+    enc = (side("encoder", cfg.encoder_blocks, "down_blocks")
+           if "encoder.conv_in.conv.weight" in sd else None)
+    dec = (side("decoder", tuple(reversed(cfg.decoder_blocks)), "up_blocks")
+           if "decoder.conv_in.conv.weight" in sd else None)
+    if dec is not None and "decoder.timestep_scale_multiplier" in sd:
         dec["timestep_scale_multiplier"] = jnp.asarray(
             sd["decoder.timestep_scale_multiplier"], jnp.float32)
         dec["last_time_embedder"] = time_emb("decoder.last_time_embedder")

@@ -43,23 +43,25 @@ T5_CONTEXT_TOKEN_NUMBER = 512
 # ---------------------------------------------------------------------------
 
 def _use_fused_sla(p, cfg: WanConfig) -> bool:
-    """Single-chip TPU inference takes the fully-fused SageSLA path
-    (ops/attention.sla_attention_fused); CP meshes, CPU, training (jvp needs
+    """TPU inference takes the fully-fused SageSLA path
+    (ops/attention.sla_attention_fused single-chip; parallel/ulysses.
+    ulysses_sla_fused under a context mesh axis); CPU, training (jvp needs
     the reference impl) and non-sage backends use the composable path."""
     import jax as _jax
     from turbodiffusion_tpu.parallel.sharding import get_mesh
     from turbodiffusion_tpu.parallel.ulysses import context_parallel_size
     a = cfg.attention
-    return (a.backend == "sagesla" and not a.use_reference_impl
+    if not (a.backend == "sagesla" and not a.use_reference_impl
             and not a.jvp_mode
             and _jax.default_backend() == "tpu"
             and cfg.head_dim % 128 == 0
-            # head_planes needs a (TL=pool, dim) tile in VMEM; beyond
-            # dim 4096 (14B: 5120) that exceeds the 16MB scoped limit —
-            # wide models take the composable path
-            and cfg.dim <= 4096
-            and a.block_q >= 128 and a.block_k >= 128
-            and context_parallel_size(get_mesh()) <= 1)
+            # beyond dim 4096 (14B: 5120) the fused front-end tiles over
+            # head groups with a precomputed full-dim RMS (row_rms_inv)
+            and a.block_q >= 128 and a.block_k >= 128):
+        return False
+    cp = context_parallel_size(get_mesh())
+    # the CP-fused path all-to-alls whole heads: need H divisible by cp
+    return cp <= 1 or cfg.num_heads % cp == 0
 
 
 def _prequantized(x):
@@ -107,6 +109,22 @@ def _self_attention(p, x, rope_cs, cfg: WanConfig, gate=None,
         from turbodiffusion_tpu.ops.attention import sla_attention_fused
         from turbodiffusion_tpu.ops.sla_fused import (
             unfold_planes, unfold_quant)
+        from turbodiffusion_tpu.parallel.sharding import get_mesh
+        from turbodiffusion_tpu.parallel.ulysses import (
+            context_parallel_size, ulysses_sla_fused)
+        if context_parallel_size(get_mesh()) > 1:
+            # Ulysses CP: per-shard fused norm/rope, a2a, then the same
+            # fused pool/quant/sparse pipeline on full-sequence head shards
+            y = ulysses_sla_fused(
+                qkv if "qkv" in p else q_proj,
+                None if "qkv" in p else k_proj,
+                None if "qkv" in p else v_proj,
+                p["norm_q"]["scale"], p["norm_k"]["scale"], rope_cs,
+                p.get("proj_l"), cfg.attention, num_heads=H, eps=cfg.eps,
+                qkv_fused="qkv" in p)
+            y = constrain(y, ("data", "context", None))
+            return linear_maybe_quant(p["o"], y, gate=gate,
+                                      residual=residual)
         if "qkv" in p:
             o_planes = sla_attention_fused(
                 qkv, None, None, p["norm_q"]["scale"],
@@ -150,14 +168,18 @@ def _self_attention(p, x, rope_cs, cfg: WanConfig, gate=None,
                               residual=residual)
 
 
-def _cross_attention(p, x, context, cfg: WanConfig, img_context=None):
+def _cross_attention(p, x, context, cfg: WanConfig, img_context=None,
+                     residual=None):
     """WanT2VCrossAttention / WanI2VCrossAttention (wan2pt1.py:280-355).
 
     Text K/V (512 tokens) are replicated, so no head resharding is needed —
-    matching the reference's flattened-CP observation (SURVEY §5.7)."""
-    B, Lx, D = x.shape
+    matching the reference's flattened-CP observation (SURVEY §5.7).
+    x may be a prequantized (int8, row_scale) pair from the quant-out norm3;
+    residual fuses the `x + cross_attn(...)` add into the O-GEMM epilogue."""
+    xa = x[0] if _prequantized(x) else x
+    B, Lx, D = xa.shape
     H, Dh = cfg.num_heads, cfg.head_dim
-    q = rmsnorm_rope(linear_maybe_quant(p["q"], x), p["norm_q"]["scale"],
+    q = rmsnorm_rope(_lin_q(p["q"], x), p["norm_q"]["scale"],
                      num_heads=H, eps=cfg.eps,
                      force_ref=cfg.attention.jvp_mode)
     # K/V over 512 text tokens are tiny; the jnp chain is fine.
@@ -176,7 +198,8 @@ def _cross_attention(p, x, context, cfg: WanConfig, img_context=None):
         v_img = v_img.reshape(B, -1, H, Dh)
         o = o + dense_attention(q, k_img, v_img,
                                 jvp_mode=cfg.attention.jvp_mode)
-    return linear_maybe_quant(p["o"], o.reshape(B, Lx, D))
+    return linear_maybe_quant(p["o"], o.reshape(B, Lx, D),
+                              residual=residual)
 
 
 def _ffn(p, x, gate=None, residual=None):
@@ -185,13 +208,41 @@ def _ffn(p, x, gate=None, residual=None):
     (int8, scale) pair from the quant-out fused LN; the AdaLN-gated
     residual rides the fc2 epilogue.
 
+    Fully-quantized fast path: fc1's epilogue emits INT8 + per-(row, N-tile)
+    scales and fc2 rescales per K-block — the FFN hidden never exists in
+    bf16 and the standalone activation-quant pass (a ~0.9 GB HBM round trip
+    at 480p) disappears.
+
     Wide models chunk the sequence through the FFN: the (L, ffn_dim) hidden
     is ~900 MB bf16 at 14B/480p — the margin that decides whether the int8
     14B fits ONE 16 GB chip."""
-    fc1 = p["fc1"]
+    fc1, fc2 = p["fc1"], p["fc2"]
     xa = x[0] if _prequantized(x) else x
     B, L = xa.shape[0], xa.shape[1]
     n_ffn = fc1["w_int8"].shape[1] if "w_int8" in fc1 else fc1["w"].shape[1]
+
+    if (_prequantized(x) and "w_int8" in fc1 and "w_int8" in fc2
+            and fc1["scale"].ndim == 1 and fc2["scale"].ndim == 1
+            and B == 1 and L * n_ffn < 600_000_000):
+        from turbodiffusion_tpu.ops.quant import (
+            _pick_bn_div, int8_gemm_blockact_pallas,
+            int8_gemm_postscale_qout_pallas)
+        BN = _pick_bn_div(n_ffn)
+        if BN:
+            xq, rs = x
+            K = xq.shape[-1]
+            hq, hs = int8_gemm_postscale_qout_pallas(
+                xq.reshape(-1, K), rs.reshape(-1, 1),
+                fc1["w_int8"], fc1["scale"], bias=fc1.get("b"),
+                act="gelu_tanh", has_bias=fc1.get("b") is not None)
+            y = int8_gemm_blockact_pallas(
+                hq, hs, fc2["w_int8"], fc2["scale"], bias=fc2.get("b"),
+                has_bias=fc2.get("b") is not None, bk=BN,
+                gate=None if gate is None else gate.reshape(-1),
+                residual=None if residual is None
+                else residual.reshape(-1, residual.shape[-1]))
+            return y.reshape(B, L, -1)
+
     if L % 2 == 0 and L * n_ffn * 2 > 600_000_000:
         half = L // 2
 
@@ -234,14 +285,18 @@ def wan_block(p, x, e0_B6D, rope_cs, context, cfg: WanConfig,
                             force_ref=cfg.attention.jvp_mode),
                         rope_cs, cfg, gate=e2, residual=x)
 
+    ca_q = p["cross_attn"]["q"]
+    qout_ca = (qout and "w_int8" in ca_q and ca_q["scale"].ndim == 1
+               and cfg.cross_attn_norm)
     if cfg.cross_attn_norm:
         n3 = modulated_layer_norm(x, weight=p["norm3"]["scale"],
                                   bias=p["norm3"]["bias"], eps=cfg.eps,
+                                  quant_out=qout_ca,
                                   force_ref=cfg.attention.jvp_mode)
     else:
         n3 = x
-    x = x + _cross_attention(p["cross_attn"], n3, context, cfg,
-                             img_context=img_context)
+    x = _cross_attention(p["cross_attn"], n3, context, cfg,
+                         img_context=img_context, residual=x)
 
     fc1 = p["ffn"]["fc1"]
     qout_ffn = (qout and "w_int8" in fc1 and fc1["scale"].ndim == 1)

@@ -151,13 +151,15 @@ def linear_attention(q, k, v, feature_map: str = "softmax"):
 
 def _use_pallas(q, *block_sizes) -> bool:
     """Use the Pallas kernels only on TPU with MXU-compatible geometry;
-    tiny test models fall back to the jnp reference path."""
+    tiny test models fall back to the jnp reference path. 64-row blocks are
+    supported for parity with reference-trained SLA maps
+    (SLA/kernel.py:247-248: BLOCK_N=64)."""
     if jax.default_backend() != "tpu":
         return False
     D = q.shape[-1]
     if D % 64 != 0:
         return False
-    return all(b >= 128 for b in block_sizes) if block_sizes else True
+    return all(b >= 64 for b in block_sizes) if block_sizes else True
 
 
 def dense_attention(q, k, v, scale: Optional[float] = None,
@@ -218,7 +220,8 @@ def _sla_attention_impl(q, k, v, proj_l, cfg: AttentionConfig,
     def _sparse_pallas(q, k, v, lut):
         from turbodiffusion_tpu.ops.flash_pallas import flash_attention
         return flash_attention(q, k, v, lut=lut, block_q=cfg.block_q,
-                               block_k=cfg.block_k, int8_qk=int8_qk)
+                               block_k=cfg.block_k, int8_qk=int8_qk,
+                               v_quant=cfg.v_quant)
 
     if cfg.jvp_mode and not cfg.use_reference_impl:
         # Forward-mode pass (sCM tangents): sparse custom_jvp wrapper (the
@@ -284,6 +287,7 @@ def sla_attention_fused(q_proj, k_proj, v_proj, norm_q_w, norm_k_w, rope_cs,
     B, L, Wx = q_proj.shape
     HD = Wx // 3 if qkv_fused else Wx
     H = num_heads
+    Dh = HD // H
     pad_to = -(-L // 512) * 512
     assert pad_to % cfg.block_q == 0 and pad_to % cfg.block_k == 0
     cosF, sinF = rope_cs
@@ -295,25 +299,65 @@ def sla_attention_fused(q_proj, k_proj, v_proj, norm_q_w, norm_k_w, rope_cs,
     else:
         srcs = ((q_proj, 0), (k_proj, 0), (v_proj, 0))
 
-    Q = head_planes(srcs[0][0], norm_q_w, cosP, sinP, num_heads=H, eps=eps,
-                    pool=cfg.block_q, quant=True, bf16_out=lin,
-                    pad_to=pad_to, width=HD, col_block=srcs[0][1],
-                    interpret=interpret)
-    K = head_planes(srcs[1][0], norm_k_w, cosP, sinP, num_heads=H, eps=eps,
-                    pool=cfg.block_k, quant=False, bf16_out=True,
-                    pad_to=pad_to, width=HD, col_block=srcs[1][1],
-                    interpret=interpret)
-    V = head_planes(srcs[2][0], num_heads=H, pool=0, quant=True,
-                    bf16_out=lin, pad_to=pad_to, width=HD,
-                    col_block=srcs[2][1], interpret=interpret)
+    # wide models (14B: dim 5120) exceed the single head_planes VMEM tile:
+    # precompute the full-dim RMS inverse (row_rms_inv) and tile the fused
+    # pass over head groups, concatenating planes on the head axis
+    wide = HD > 4096
+    if wide:
+        from turbodiffusion_tpu.ops.sla_fused import row_rms_inv
+        G = H
+        while G * Dh > 4096 or H % G:
+            G -= 1
+        n_grp = H // G
+
+    def planes(part, src, weight, rope: bool, pool: int, quant: bool,
+               bf16o: bool):
+        kw = dict(num_heads=H, eps=eps, pool=pool, quant=quant,
+                  bf16_out=bf16o, pad_to=pad_to, interpret=interpret)
+        if rope:
+            kw.update(cos_full=cosP, sin_full=sinP)
+        if not wide:
+            return head_planes(src, weight, width=HD, col_block=part, **kw)
+        ri = None
+        if weight is not None:
+            ri = row_rms_inv(src, eps, width=HD, col_block=part,
+                             interpret=interpret)
+            ri = jnp.pad(ri, ((0, 0), (0, pad_to - ri.shape[1]), (0, 0)))
+        kw["num_heads"] = G
+        outs = []
+        for g in range(n_grp):
+            wslice = None if weight is None else \
+                jax.lax.slice_in_dim(weight.reshape(-1), g * G * Dh,
+                                     (g + 1) * G * Dh, axis=0)
+            outs.append(head_planes(
+                src, wslice, width=G * Dh, col_block=part * n_grp + g,
+                rms_inv=ri, **kw))
+        return {k: jnp.concatenate([o[k] for o in outs], axis=1)
+                for k in outs[0]}
+
+    Q = planes(srcs[0][1], srcs[0][0], norm_q_w, True, cfg.block_q, True,
+               lin)
+    K = planes(srcs[1][1], srcs[1][0], norm_k_w, True, cfg.block_k, False,
+               True)
+    v_chan = cfg.v_quant == "channel"
+    V = planes(srcs[2][1], srcs[2][0], None, False, 0, not v_chan,
+               lin or v_chan)
 
     lut, _, k_mean = block_map_from_pooled(
         Q["pooled"], K["pooled"], L, cfg.block_k, cfg.sla_topk)
-    ki, ks = subquant_planes(K["bf16"], k_mean, interpret=interpret)
+    if v_chan:
+        from turbodiffusion_tpu.ops.flash_pallas import quantize_v_per_channel
+        vi, vcs = quantize_v_per_channel(V["bf16"], L)
+        vs = jnp.zeros((*vi.shape[:3], 1), jnp.float32)
+    else:
+        vi, vs, vcs = V["i8"], V["scale"], None
+    from turbodiffusion_tpu.ops.sla_fused import subquant_pack_kv
+    kvi, ks = subquant_pack_kv(K["bf16"], k_mean, vi, cfg.block_k,
+                               interpret=interpret)
     o = sparse_attention_i8_planes(
-        Q["i8"], Q["scale"], ki, ks, V["i8"], V["scale"], lut,
+        Q["i8"], Q["scale"], None, ks, None, vs, lut,
         block_q=cfg.block_q, block_k=cfg.block_k, kv_len=L,
-        interpret=interpret)
+        v_channel_scale=vcs, kvi_packed=kvi, interpret=interpret)
     if lin:
         o = o + linear_projected_planes(
             Q["bf16"], K["bf16"], V["bf16"],

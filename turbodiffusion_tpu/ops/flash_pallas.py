@@ -114,6 +114,25 @@ def _attn_kernel(lut_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
 # pallas_call wrapper
 # ---------------------------------------------------------------------------
 
+def _attn_kernel_onepass(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                         kv_len: int):
+    """Single-KV-block attention (cross-attention: 512 text tokens fit one
+    tile). No online-softmax scratch, no finalize branch — the flash m/l
+    ring and its (BQ, 128) broadcasts cost ~3x the roofline at tiny K."""
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < kv_len, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-20)
+    o = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0] = (o / l).astype(o_ref.dtype)
+
+
 def _sparse_attn_kernel(lut_hbm, q_ref, k_hbm, v_hbm, o_ref,
                         kbuf, vbuf, sems, lut2_ref, lut_sem, acc_scr,
                         *, scale: float, block_k: int, kv_len: int,
@@ -244,9 +263,10 @@ def _sparse_attn_kernel(lut_hbm, q_ref, k_hbm, v_hbm, o_ref,
     o_ref[0] = (acc_scr[...] / jnp.maximum(l, 1e-20)).astype(o_ref.dtype)
 
 
-def _sparse_attn_kernel_i8(lut_hbm, q_ref, qs_ref, kv_hbm, scb_hbm,
+def _sparse_attn_kernel_i8(lut_hbm, q_ref, qs_ref, kv_hbm, scb_hbm, vch_ref,
                            o_ref, kvbuf, scbuf, sems, lut2_ref, lut_sem,
-                           acc_scr, *, block_k: int, sel: int):
+                           acc_scr, *, block_k: int, sel: int,
+                           v_per_channel: bool = False):
     """SageSLA-style INT8 block-sparse attention — VPU-minimal edition.
 
     Q/K/V are pre-quantized per row OUTSIDE the kernel (the reference
@@ -347,14 +367,23 @@ def _sparse_attn_kernel_i8(lut_hbm, q_ref, qs_ref, kv_hbm, scb_hbm,
         alpha = jnp.exp(m - m_new)
         p = jnp.exp(s - m_new)
         l_new = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
-        # fold V's row scale into p, then bf16 x bf16 MXU pass
-        pv = (p * vsc).astype(jnp.bfloat16)
+        if v_per_channel:
+            # per-channel V scales are K-row-invariant: fold once at the
+            # finalize instead of into p (the FP8-V analog — reference sm90
+            # quantizes V per channel, SLA/core.py:218-229)
+            pv = p.astype(jnp.bfloat16)
+        else:
+            # fold V's per-row scale into p, then bf16 x bf16 MXU pass
+            pv = (p * vsc).astype(jnp.bfloat16)
         acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
             pv, v.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
         return m_new, l_new
 
     m, l = jax.lax.fori_loop(0, n_groups, body, (m, l))
-    o_ref[0] = (acc_scr[...] / jnp.maximum(l, 1e-20)).astype(o_ref.dtype)
+    o = acc_scr[...] / jnp.maximum(l, 1e-20)
+    if v_per_channel:
+        o = o * vch_ref[0]
+    o_ref[0] = o.astype(o_ref.dtype)
 
 
 def _rowquant_i8(x, eps=1e-6):
@@ -369,8 +398,25 @@ def _rowquant_i8(x, eps=1e-6):
     return xi, scale
 
 
+def quantize_v_per_channel(v_planes, kv_len: int, eps: float = 1e-8):
+    """Per-(head, channel) symmetric INT8 quantization of V planes — the TPU
+    analog of the reference's FP8 per-channel V on sm90 (transpose + pad +
+    per-channel scale quant, SLA/core.py:218-229). Channel absmax is taken
+    over the valid rows only; rows >= kv_len may be garbage (their scores
+    are poison-masked in the kernel, so their int8 values never matter).
+
+    v_planes: (B, H, Lp, D) -> (int8 (B, H, Lp, D), fp32 scales (B, H, 1, D)).
+    """
+    vf = v_planes.astype(jnp.float32)
+    valid = (jnp.arange(v_planes.shape[2]) < kv_len)[None, None, :, None]
+    amax = jnp.max(jnp.where(valid, jnp.abs(vf), 0.0), axis=2, keepdims=True)
+    scale = jnp.maximum(amax, eps) / 127.0
+    vi = jnp.clip(jnp.round(vf / scale), -127, 127).astype(jnp.int8)
+    return vi, scale
+
+
 def _flash_fwd_impl(q, k, v, lut, *, scale, block_q, block_k, int8_qk,
-                    interpret):
+                    interpret, v_quant="row"):
     B, L, H, D = q.shape
     Lk = k.shape[1]
     # Dense traversal uses large tiles to amortize per-grid-step overhead
@@ -395,7 +441,27 @@ def _flash_fwd_impl(q, k, v, lut, *, scale, block_q, block_k, int8_qk,
     qf, kf, vf = fold(q, Lp), fold(k, Lkp), fold(v, Lkp)
     out_shape = jax.ShapeDtypeStruct((B * H, Lp, D), q.dtype)
 
-    if lut is None:
+    if lut is None and nK == 1 and not int8_qk:
+        # cross-attention shape: all K/V in one tile. Large Q blocks
+        # amortize per-grid-step overhead (measured 1.78 -> ~0.6 ms/layer
+        # at 480p vs the generic flash kernel).
+        block_q = min(2048, Lp)
+        while Lp % block_q:
+            block_q //= 2
+        nQ = Lp // block_q
+        q_spec1 = pl.BlockSpec((1, block_q, D), lambda bh, i: (bh, i, 0))
+        kv_spec1 = pl.BlockSpec((1, block_k, D), lambda bh, i: (bh, 0, 0))
+        out = pl.pallas_call(
+            functools.partial(_attn_kernel_onepass, scale=scale, kv_len=Lk),
+            grid=(B * H, nQ),
+            in_specs=[q_spec1, kv_spec1, kv_spec1],
+            out_specs=q_spec1,
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel")),
+            interpret=interpret,
+        )(qf, kf, vf)
+    elif lut is None:
         def kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr):
             _attn_kernel(None, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr,
                          acc_scr, scale=scale, block_k=block_k, kv_len=Lk,
@@ -450,11 +516,36 @@ def _flash_fwd_impl(q, k, v, lut, *, scale, block_q, block_k, int8_qk,
         q_spec2 = pl.BlockSpec((1, block_q, Dp), lambda bh, i: (bh, i, 0))
         any_spec = pl.BlockSpec(memory_space=pl.ANY)
 
-        if int8_qk:
+        if int8_qk and min(block_q, block_k) < 128:
+            # parity-granularity mode (reference SLA kernels select at
+            # 64-row K-blocks, SLA/kernel.py:247-248; sm90 Sage Q64/K128,
+            # core.py:185-189): the packed-metadata kernel needs 128-lane
+            # block slices, so sub-128 blocks run the gather kernel with
+            # in-kernel per-block INT8 quantization instead.
+            def kernel(lut_hbm, q_ref, k_hbm, v_hbm, o_ref,
+                       kbuf, vbuf, sems, lut_ref, lut_sem, acc_scr):
+                _sparse_attn_kernel(lut_hbm, q_ref, k_hbm, v_hbm, o_ref,
+                                    kbuf, vbuf, sems, lut_ref, lut_sem,
+                                    acc_scr, scale=scale, block_k=block_k,
+                                    kv_len=Lk, int8_qk=True, sel=sel)
+
+            out = pl.pallas_call(
+                kernel,
+                grid=(B * H, nQ),
+                in_specs=[any_spec, q_spec2, any_spec, any_spec],
+                out_specs=q_spec2,
+                out_shape=out_shape,
+                scratch_shapes=[
+                    pltpu.VMEM((NBUF, GROUP * block_k, Dp), k.dtype),
+                    pltpu.VMEM((NBUF, GROUP * block_k, Dp), v.dtype),
+                ] + common_scratch,
+                compiler_params=cp,
+                interpret=interpret,
+            )(lut_flat, qf, kf, vf)
+        elif int8_qk:
             if interpret or jax.default_backend() != "tpu":
                 qi, qs = _rowquant_i8(qf)              # (BH, Lp, D), (BH, Lp, 1)
                 ki, ks = _rowquant_i8(kf)
-                vi, vs = _rowquant_i8(vf)
             else:
                 from turbodiffusion_tpu.ops.quant import (
                     quantize_rows_int8_pallas)
@@ -465,13 +556,24 @@ def _flash_fwd_impl(q, k, v, lut, *, scale, block_q, block_k, int8_qk,
                             xs.reshape(*x.shape[:-1], 1))
                 qi, qs = rq(qf)
                 ki, ks = rq(kf)
-                vi, vs = rq(vf)
+            if v_quant == "channel":
+                vi, vch = quantize_v_per_channel(
+                    vf.reshape(B, H, Lkp, Dp), Lk)
+                vi = vi.reshape(B * H, Lkp, Dp)
+                vs, vcs = None, vch
+            else:
+                vi, vs = (_rowquant_i8(vf)
+                          if interpret or jax.default_backend() != "tpu"
+                          else rq(vf))
+                vcs = None
             out = sparse_attention_i8_planes(
                 qi.reshape(B, H, Lp, Dp), qs.reshape(B, H, Lp, 1),
                 ki.reshape(B, H, Lkp, Dp), ks.reshape(B, H, Lkp, 1),
-                vi.reshape(B, H, Lkp, Dp), vs.reshape(B, H, Lkp, 1),
+                vi.reshape(B, H, Lkp, Dp),
+                (jnp.zeros((B, H, Lkp, 1), jnp.float32) if vs is None
+                 else vs.reshape(B, H, Lkp, 1)),
                 lut, scale=scale, block_q=block_q, block_k=block_k,
-                kv_len=Lk, interpret=interpret)
+                kv_len=Lk, v_channel_scale=vcs, interpret=interpret)
             out = out.reshape(B * H, Lp, Dp)
         else:
             def kernel(lut_hbm, q_ref, k_hbm, v_hbm, o_ref,
@@ -505,6 +607,7 @@ def sparse_attention_i8_planes(qi, qs, ki, ks, vi, vs, lut, *,
                                scale: Optional[float] = None,
                                block_q: int = 256, block_k: int = 256,
                                kv_len: Optional[int] = None,
+                               v_channel_scale=None, kvi_packed=None,
                                interpret: bool = False):
     """Block-sparse SageSLA attention over pre-quantized head planes.
 
@@ -512,9 +615,16 @@ def sparse_attention_i8_planes(qi, qs, ki, ks, vi, vs, lut, *,
     fp32 row scales; lut: (B, H, nQ, sel) int32 selected K-block ids.
     Rows in [kv_len, Lp) may be garbage — they are masked by the poison-block
     bias. Returns (B, H, Lp, D) planes in bf16.
+
+    v_channel_scale: optional (B, H, 1, D) fp32 — vi is per-CHANNEL
+    quantized (vs ignored); the scale folds once into the finalize. This is
+    the TPU analog of the reference's FP8 per-channel V on sm90
+    (SLA/core.py:218-229): per-channel error is sequence-global, beating
+    per-row at aggressive topk.
     """
     B, H, Lp, D = qi.shape
-    Lkp = ki.shape[2]
+    Lkp = (ki.shape[2] if kvi_packed is None
+           else kvi_packed.shape[1] - block_k)
     BH = B * H
     kv_len = Lkp if kv_len is None else kv_len
     scale = float(D ** -0.5) if scale is None else float(scale)
@@ -526,8 +636,6 @@ def sparse_attention_i8_planes(qi, qs, ki, ks, vi, vs, lut, *,
 
     qi = qi.reshape(BH, Lp, D)
     qs = qs.reshape(BH, Lp, 1) * scale              # fold softmax scale
-    ki = ki.reshape(BH, Lkp, D)
-    vi = vi.reshape(BH, Lkp, D)
 
     # LUT: pad Q-block rows out to the padded grid (all-poison rows produce
     # zero output rows, which are dropped), pad entries to full groups with
@@ -547,9 +655,16 @@ def sparse_attention_i8_planes(qi, qs, ki, ks, vi, vs, lut, *,
                        ((0, 0), (0, 0), (0, sel_pad - n_groups * GROUP)))
 
     # pack K|V along features (one DMA descriptor per gathered block) and
-    # append the poison block (zeros)
-    kvi = jnp.concatenate([ki, vi], axis=-1)        # (BH, Lkp, 2D) int8
-    kvi = jnp.pad(kvi, ((0, 0), (0, block_k), (0, 0)))
+    # append the poison block. Its K/V contents never reach a live score
+    # (bias -1e30 -> p = 0), so a producer kernel may emit the packed
+    # layout directly with the poison rows unwritten (subquant_pack_kv).
+    if kvi_packed is not None:
+        kvi = kvi_packed
+    else:
+        ki = ki.reshape(BH, Lkp, D)
+        vi = vi.reshape(BH, Lkp, D)
+        kvi = jnp.concatenate([ki, vi], axis=-1)    # (BH, Lkp, 2D) int8
+        kvi = jnp.pad(kvi, ((0, 0), (0, block_k), (0, 0)))
     # per-block metadata rows (8, block_k): 0=K scale, 1=additive bias
     # (0 real / -1e30 pad), 2=V scale, 3-7 zero padding for the fp32 tile
     nKp = nK + 1
@@ -559,19 +674,24 @@ def sparse_attention_i8_planes(qi, qs, ki, ks, vi, vs, lut, *,
         return jnp.where(valid[None], s, 0.0).reshape(BH, nKp, block_k)
     bias_rows = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32
                                                       ).reshape(1, nKp, block_k)
+    v_per_channel = v_channel_scale is not None
     scb = jnp.stack([
         blockify(ks),
         jnp.broadcast_to(bias_rows, (BH, nKp, block_k)),
-        blockify(vs),
+        (jnp.zeros((BH, nKp, block_k), jnp.float32) if v_per_channel
+         else blockify(vs)),
     ], axis=2)                                      # (BH, nKp, 3, bk)
     scb = jnp.pad(scb, ((0, 0), (0, 0), (0, 5), (0, 0)))
+    vch = (v_channel_scale.reshape(BH, 1, D).astype(jnp.float32)
+           if v_per_channel
+           else jnp.zeros((BH, 1, D), jnp.float32))
 
-    def kernel(lut_hbm, q_ref, qs_ref, kv_hbm, scb_hbm, o_ref,
+    def kernel(lut_hbm, q_ref, qs_ref, kv_hbm, scb_hbm, vch_ref, o_ref,
                kvbuf, scbuf, sems, lut_ref, lut_sem, acc_scr):
         _sparse_attn_kernel_i8(
-            lut_hbm, q_ref, qs_ref, kv_hbm, scb_hbm, o_ref,
+            lut_hbm, q_ref, qs_ref, kv_hbm, scb_hbm, vch_ref, o_ref,
             kvbuf, scbuf, sems, lut_ref, lut_sem, acc_scr,
-            block_k=block_k, sel=sel)
+            block_k=block_k, sel=sel, v_per_channel=v_per_channel)
 
     q_spec = pl.BlockSpec((1, block_q, D), lambda bh, i: (bh, i, 0))
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
@@ -584,6 +704,7 @@ def sparse_attention_i8_planes(qi, qs, ki, ks, vi, vs, lut, *,
             pl.BlockSpec((1, block_q, 1), lambda bh, i: (bh, i, 0)),
             any_spec,                                       # K|V int8 (HBM)
             any_spec,                                       # scale/bias blocks
+            pl.BlockSpec((1, 1, D), lambda bh, i: (bh, 0, 0)),
         ],
         out_specs=q_spec,
         out_shape=jax.ShapeDtypeStruct((BH, Lp, D), jnp.bfloat16),
@@ -598,7 +719,7 @@ def sparse_attention_i8_planes(qi, qs, ki, ks, vi, vs, lut, *,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(lut_flat, qi, qs, kvi, scb)
+    )(lut_flat, qi, qs, kvi, scb, vch)
     return out.reshape(B, H, Lp, D)
 
 
@@ -1112,12 +1233,13 @@ def _fused_bwd_enabled(interpret: bool) -> bool:
 
 
 @functools.lru_cache(maxsize=None)
-def _make_flash_fn(scale, block_q, block_k, int8_qk, interpret):
+def _make_flash_fn(scale, block_q, block_k, int8_qk, interpret,
+                   v_quant="row"):
     @jax.custom_vjp
     def f(q, k, v, lut):
         return _flash_fwd_impl(q, k, v, lut, scale=scale, block_q=block_q,
                                block_k=block_k, int8_qk=int8_qk,
-                               interpret=interpret)
+                               interpret=interpret, v_quant=v_quant)
 
     def fwd(q, k, v, lut):
         return f(q, k, v, lut), (q, k, v, lut)
@@ -1145,11 +1267,15 @@ def _make_flash_fn(scale, block_q, block_k, int8_qk, interpret):
 
 def flash_attention(q, k, v, lut=None, scale: Optional[float] = None,
                     block_q: int = 128, block_k: int = 128,
-                    int8_qk: bool = False, interpret: bool = False):
+                    int8_qk: bool = False, interpret: bool = False,
+                    v_quant: str = "row"):
     """Flash attention over (B, L, H, D) tensors.
 
     lut: optional (B, H, nQ, topk) int32 table of K-block ids per Q-block.
          None => dense.
+    v_quant: int8 V quantization granularity on the sparse int8 path:
+         "row" (per-token, default) or "channel" (per-(head, channel) — the
+         FP8-V analog, SLA/core.py:218-229).
     """
     D = q.shape[-1]
     scale = float(D ** -0.5) if scale is None else float(scale)
@@ -1157,5 +1283,6 @@ def flash_attention(q, k, v, lut=None, scale: Optional[float] = None,
         # smooth-k: softmax(q·k) == softmax(q·(k - km)); centering shrinks the
         # INT8 quantization range (SLA/core.py:195-199, SageAttention).
         k = k - jnp.mean(k, axis=1, keepdims=True)
-    fn = _make_flash_fn(scale, block_q, block_k, bool(int8_qk), bool(interpret))
+    fn = _make_flash_fn(scale, block_q, block_k, bool(int8_qk),
+                        bool(interpret), v_quant)
     return fn(q, k, v, lut)

@@ -280,10 +280,12 @@ def _rmsrope_kernel(x_ref, w_ref, cos_ref, sin_ref, o_ref, *, eps: float,
 
 @functools.partial(jax.jit,
                    static_argnames=("eps", "num_heads", "interpret",
-                                    "block_l"))
+                                    "block_l", "width", "col_block"))
 def _rmsrope_pallas(x, w, cos_full, sin_full, eps: float, num_heads: int,
-                    interpret: bool = False, block_l: int = 512):
-    B, L, HD = x.shape
+                    interpret: bool = False, block_l: int = 512,
+                    width: Optional[int] = None, col_block: int = 0):
+    B, L, Wx = x.shape
+    HD = width or Wx
     H = num_heads
     Dh = HD // H
     TL = min(block_l, max(8, (1_000_000 // HD) // 8 * 8), L)
@@ -291,7 +293,10 @@ def _rmsrope_pallas(x, w, cos_full, sin_full, eps: float, num_heads: int,
     rope = cos_full is not None
 
     specs = [
-        pl.BlockSpec((1, TL, HD), lambda b_, i: (b_, i, 0),
+        # width/col_block: read columns [col_block*width, (col_block+1)*width)
+        # of a wider input (a fused-QKV GEMM output) — the slice rides the
+        # BlockSpec index map, i.e. for free in the DMA
+        pl.BlockSpec((1, TL, HD), lambda b_, i, c=col_block: (b_, i, c),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, HD), lambda b_, i: (0, 0),
                      memory_space=pltpu.VMEM),

@@ -249,6 +249,197 @@ def int8_gemm_postscale_pallas(xq, row_scale, wq, col_scale, bias=None,
     )(*args)
 
 
+def _pick_bn_div(N: int, lo: int = 384, hi: int = 1024) -> int:
+    """Largest lane-multiple BN in [lo, hi] that divides N (the quant-out
+    epilogue's per-(row, N-tile) scales must tile N exactly so the consumer
+    GEMM can rescale per K-block)."""
+    best = 0
+    for m in range(lo // 128, hi // 128 + 1):
+        bn = m * 128
+        if N % bn == 0:
+            best = bn
+    return best
+
+
+def _postscale_gemm_qout_kernel(xq_ref, wq_ref, rs_ref, cs_ref, bias_ref,
+                                o_ref, os_ref, acc_scr, *, n_k: int,
+                                act: Optional[str], has_bias: bool):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    acc_scr[...] += jax.lax.dot_general(
+        xq_ref[...], wq_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+
+    @pl.when(k == n_k - 1)
+    def _():
+        out = acc_scr[...].astype(jnp.float32) * rs_ref[...] * \
+            cs_ref[0][None, :]
+        if has_bias:
+            out = out + bias_ref[0][None, :].astype(jnp.float32)
+        if act == "gelu_tanh":
+            out = jax.nn.gelu(out, approximate=True)
+        # per-(row, N-tile) int8 quantization rides the epilogue — the
+        # consumer GEMM rescales per K-block (the standalone quantize_rows
+        # pass over the FFN hidden is a 0.9 GB HBM round trip at 480p)
+        amax = jnp.max(jnp.abs(out), axis=-1, keepdims=True)
+        scale = jnp.maximum(amax, 1e-8) * (1.0 / INT8_MAX)
+        o_ref[...] = jnp.round(out * (1.0 / scale)).astype(jnp.int8)
+        os_ref[...] = scale
+
+
+@functools.partial(jax.jit, static_argnames=("act", "has_bias", "interpret"))
+def int8_gemm_postscale_qout_pallas(xq, row_scale, wq, col_scale, bias=None,
+                                    act: Optional[str] = None,
+                                    has_bias: bool = False,
+                                    interpret: bool = False):
+    """W8A8 GEMM whose epilogue emits INT8 + per-(row, BN-block) fp32 scales
+    for a downstream blockscale GEMM (int8_gemm_blockact_pallas) with
+    bk = _pick_bn_div(N). Returns (y_int8 (M, N), y_scale (M, N // BN))."""
+    M, K = xq.shape
+    N = wq.shape[1]
+    assert K % 128 == 0
+    BN = _pick_bn_div(N)
+    assert BN, f"N={N} has no lane-multiple divisor in [384, 1024]"
+    BM = min(1024, max(8, M))
+    BK = _pick_bk(K)
+    n_k = K // BK
+    grid = (_cdiv(M, BM), N // BN, n_k)
+
+    in_specs = [
+        pl.BlockSpec((BM, BK), lambda m, n, k: (m, k)),
+        pl.BlockSpec((BK, BN), lambda m, n, k: (k, n)),
+        pl.BlockSpec((BM, 1), lambda m, n, k: (m, 0)),
+        pl.BlockSpec((1, BN), lambda m, n, k: (0, n)),
+    ]
+    args = [xq, wq, row_scale, col_scale.reshape(1, N)]
+    if has_bias:
+        in_specs.append(pl.BlockSpec((1, BN), lambda m, n, k: (0, n)))
+        args.append(bias.reshape(1, N).astype(jnp.float32))
+
+    def kernel(*refs):
+        bias_ref = refs[4] if has_bias else None
+        _postscale_gemm_qout_kernel(refs[0], refs[1], refs[2], refs[3],
+                                    bias_ref, refs[-3], refs[-2], refs[-1],
+                                    n_k=n_k, act=act, has_bias=has_bias)
+
+    y, ys = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(pl.BlockSpec((BM, BN), lambda m, n, k: (m, n)),
+                   pl.BlockSpec((BM, 1), lambda m, n, k: (m, n))),
+        out_shape=(jax.ShapeDtypeStruct((M, N), jnp.int8),
+                   jax.ShapeDtypeStruct((M, N // BN), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((BM, BN), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(*args)
+    return y, ys
+
+
+def _blockact_gemm_kernel(xq_ref, wq_ref, xs_ref, cs_ref, bias_ref,
+                          gate_ref, res_ref, o_ref, acc_scr, *, n_k: int,
+                          act: Optional[str], has_bias: bool):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    prod = jax.lax.dot_general(
+        xq_ref[...], wq_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    # per-K-block activation rescale (the producer's per-(row, tile) scale),
+    # accumulated in fp32 — the reference CuTe GEMM's per-K-block pattern
+    # (ops/gemm/kernel.hpp:417-419) with a rank-1 scale
+    acc_scr[...] += prod.astype(jnp.float32) * xs_ref[...]
+
+    @pl.when(k == n_k - 1)
+    def _():
+        out = acc_scr[...] * cs_ref[0][None, :]
+        if has_bias:
+            out = out + bias_ref[0][None, :].astype(jnp.float32)
+        if act == "gelu_tanh":
+            out = jax.nn.gelu(out, approximate=True)
+        if gate_ref is not None:
+            out = out * gate_ref[0][None, :].astype(jnp.float32)
+        if res_ref is not None:
+            out = out + res_ref[...].astype(jnp.float32)
+        o_ref[...] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("act", "has_bias", "out_dtype",
+                                              "interpret", "bk"))
+def int8_gemm_blockact_pallas(xq, x_scale, wq, col_scale, bias=None,
+                              act: Optional[str] = None,
+                              has_bias: bool = False, bk: int = 512,
+                              out_dtype=jnp.bfloat16,
+                              interpret: bool = False,
+                              gate=None, residual=None):
+    """W8A8 GEMM over a per-(row, K-block)-scaled int8 activation:
+    out = act(sum_kb (xq_kb @ wq_kb) * xs[m, kb] * col_scale + bias)
+    [* gate] [+ residual].
+
+    xq: (M, K) int8; x_scale: (M, K // bk) fp32 (the quant-out producer's
+    scales); wq: (K, N) int8; col_scale (N,)."""
+    M, K = xq.shape
+    N = wq.shape[1]
+    assert K % bk == 0 and bk % 128 == 0
+    n_k = K // bk
+    BM = min(1024, max(8, M))
+    BN = min(512, N)
+    grid = (_cdiv(M, BM), _cdiv(N, BN), n_k)
+
+    in_specs = [
+        pl.BlockSpec((BM, bk), lambda m, n, k: (m, k)),
+        pl.BlockSpec((bk, BN), lambda m, n, k: (k, n)),
+        pl.BlockSpec((BM, 1), lambda m, n, k: (m, k)),
+        pl.BlockSpec((1, BN), lambda m, n, k: (0, n)),
+    ]
+    args = [xq, wq, x_scale, col_scale.reshape(1, N)]
+    if has_bias:
+        in_specs.append(pl.BlockSpec((1, BN), lambda m, n, k: (0, n)))
+        args.append(bias.reshape(1, N).astype(jnp.float32))
+    has_gate = gate is not None
+    if has_gate:
+        in_specs.append(pl.BlockSpec((1, BN), lambda m, n, k: (0, n)))
+        args.append(gate.reshape(1, N).astype(jnp.float32))
+    has_res = residual is not None
+    if has_res:
+        in_specs.append(pl.BlockSpec((BM, BN), lambda m, n, k: (m, n)))
+        args.append(residual)
+
+    def kernel(*refs):
+        idx = 4
+        bias_ref = gate_ref = res_ref = None
+        if has_bias:
+            bias_ref = refs[idx]; idx += 1
+        if has_gate:
+            gate_ref = refs[idx]; idx += 1
+        if has_res:
+            res_ref = refs[idx]; idx += 1
+        _blockact_gemm_kernel(refs[0], refs[1], refs[2], refs[3], bias_ref,
+                              gate_ref, res_ref, refs[idx], refs[idx + 1],
+                              n_k=n_k, act=act, has_bias=has_bias)
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((BM, BN), lambda m, n, k: (m, n)),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((BM, BN), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(*args)
+
+
 def int8_linear_prequant(xq, row_scale, p, act: Optional[str] = None,
                          gate=None, residual=None):
     """Postscale W8A8 linear over a pre-quantized activation (xq int8 with

@@ -39,15 +39,47 @@ def _cdiv(a: int, b: int) -> int:
 
 
 # ---------------------------------------------------------------------------
+# row RMS inverse (wide-model two-pass norm: dim 5120 exceeds the VMEM tile)
+# ---------------------------------------------------------------------------
+
+def _row_rms_kernel(x_ref, o_ref, *, eps: float):
+    xf = x_ref[0].astype(jnp.float32)
+    o_ref[0] = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "width", "col_block",
+                                              "interpret"))
+def row_rms_inv(x, eps: float = 1e-6, width: Optional[int] = None,
+                col_block: int = 0, interpret: bool = False):
+    """(B, L, W) -> (B, L, 1) fp32 rsqrt(mean(x^2)+eps) over columns
+    [col_block*width, (col_block+1)*width). Feeds head_planes' external-RMS
+    mode so wide models (14B: dim 5120) can tile the fused front-end over
+    head groups while keeping the full-dim WanRMSNorm statistic."""
+    B, L, Wx = x.shape
+    W = width or Wx
+    TL = max(8, min(512, (1_500_000 // W) // 8 * 8))
+    grid = (B, _cdiv(L, TL))
+    return pl.pallas_call(
+        functools.partial(_row_rms_kernel, eps=eps),
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, TL, W), lambda b, i, c=col_block: (b, i, c))],
+        out_specs=pl.BlockSpec((1, TL, 1), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, L, 1), jnp.float32),
+        interpret=interpret,
+    )(x)
+
+
+# ---------------------------------------------------------------------------
 # head_planes kernel
 # ---------------------------------------------------------------------------
 
 def _head_planes_kernel(refs, *, H: int, Dh: int, eps: float, L: int,
                         TL: int, pool: int, do_norm: bool, do_rope: bool,
-                        do_quant: bool, do_bf16: bool):
+                        do_quant: bool, do_bf16: bool, ext_rms: bool):
     it = iter(refs)
     x_ref = next(it)                         # (1, TL, H*Dh)
     w_ref = next(it) if do_norm else None    # (1, H*Dh)
+    ri_ref = next(it) if ext_rms else None   # (1, TL, 1) precomputed rms inv
     cos_ref = next(it) if do_rope else None  # (TL, Dh)
     sin_ref = next(it) if do_rope else None
     bf_ref = next(it) if do_bf16 else None   # (1, H, TL, Dh)
@@ -58,7 +90,11 @@ def _head_planes_kernel(refs, *, H: int, Dh: int, eps: float, L: int,
     i = pl.program_id(1)
     if do_norm:
         xf = x_ref[0].astype(jnp.float32)    # (TL, H*Dh)
-        rms = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+        if ext_rms:
+            rms = ri_ref[0]
+        else:
+            rms = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True)
+                                + eps)
     if pool:
         offs = i * TL + jax.lax.broadcasted_iota(jnp.int32, (TL, 1), 0)
         valid = (offs < L).astype(jnp.float32)               # (TL, 1)
@@ -104,7 +140,7 @@ def head_planes(x, weight=None, cos_full=None, sin_full=None, *,
                 num_heads: int, eps: float = 1e-6, pool: int = 0,
                 quant: bool = False, bf16_out: bool = True,
                 pad_to: Optional[int] = None, width: Optional[int] = None,
-                col_block: int = 0, interpret: bool = False):
+                col_block: int = 0, rms_inv=None, interpret: bool = False):
     """One-pass head-plane transform of a (B, L, H*Dh) projection output.
 
     Returns a dict with keys among:
@@ -134,6 +170,7 @@ def head_planes(x, weight=None, cos_full=None, sin_full=None, *,
         assert TL % pool == 0, (TL, pool)
     do_norm = weight is not None
     do_rope = cos_full is not None
+    ext_rms = rms_inv is not None
     grid = (B, Lp // TL)
 
     in_specs = [pl.BlockSpec((1, TL, HD),
@@ -142,6 +179,12 @@ def head_planes(x, weight=None, cos_full=None, sin_full=None, *,
     if do_norm:
         in_specs.append(pl.BlockSpec((1, HD), lambda b, i: (0, 0)))
         args.append(weight.reshape(1, HD).astype(x.dtype))
+    if ext_rms:
+        # precomputed full-dim RMS inverse (row_rms_inv): head-group tiling
+        # for wide models where H*Dh exceeds the VMEM tile but the norm
+        # statistic must span the whole model dim
+        in_specs.append(pl.BlockSpec((1, TL, 1), lambda b, i: (b, i, 0)))
+        args.append(rms_inv)
     if do_rope:
         in_specs += [pl.BlockSpec((TL, Dh), lambda b, i: (i, 0))] * 2
         args += [cos_full, sin_full]
@@ -169,7 +212,8 @@ def head_planes(x, weight=None, cos_full=None, sin_full=None, *,
 
     kernel = functools.partial(
         _head_planes_kernel, H=H, Dh=Dh, eps=eps, L=L, TL=TL, pool=pool,
-        do_norm=do_norm, do_rope=do_rope, do_quant=quant, do_bf16=bf16_out)
+        do_norm=do_norm, do_rope=do_rope, do_quant=quant, do_bf16=bf16_out,
+        ext_rms=ext_rms)
 
     outs = pl.pallas_call(
         lambda *refs: kernel(refs),
@@ -254,6 +298,52 @@ def _subquant_kernel(x_ref, mu_ref, i8_ref, sc_ref):
     scale = jnp.maximum(amax, 1e-8) * (1.0 / INT8_MAX)
     i8_ref[0] = jnp.round(xf * (1.0 / scale)).astype(jnp.int8)
     sc_ref[0] = scale
+
+
+def _subquant_pack_kernel(k_ref, mu_ref, v_ref, kv_ref, sc_ref):
+    xf = k_ref[0].astype(jnp.float32) - mu_ref[0]
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) * (1.0 / INT8_MAX)
+    D = xf.shape[-1]
+    kv_ref[0, :, :D] = jnp.round(xf * (1.0 / scale)).astype(jnp.int8)
+    kv_ref[0, :, D:] = v_ref[0]
+    sc_ref[0] = scale
+
+
+@functools.partial(jax.jit, static_argnames=("block_k", "interpret"))
+def subquant_pack_kv(k_planes, mu, v_i8, block_k: int,
+                     interpret: bool = False):
+    """Smooth-k subtract + INT8 quantize of K, written directly into the
+    packed (BH, Lkp + block_k, 2D) K|V layout the sparse kernel DMA-gathers —
+    replaces the separate subquant + concatenate + poison-pad chain (three
+    full passes over K|V) with one. The trailing poison block's contents are
+    never read through a live score (its bias is -1e30), so its rows are
+    left unwritten.
+
+    k_planes: (B, H, Lp, D) bf16; mu: (B, H, 1, D); v_i8: (B, H, Lp, D) int8.
+    Returns (kvi (B*H, Lp + block_k, 2D) int8, ks (B, H, Lp, 1) fp32)."""
+    B, H, Lp, D = k_planes.shape
+    BH = B * H
+    k2 = k_planes.reshape(BH, Lp, D)
+    v2 = v_i8.reshape(BH, Lp, D)
+    m = mu.reshape(BH, 1, D).astype(jnp.float32)
+    TL = 1024 if Lp % 1024 == 0 else 512    # Lp is a 512 multiple
+    TL = min(TL, Lp)
+    assert Lp % TL == 0, (Lp, TL)
+    grid = (BH, Lp // TL)
+    kvi, sc = pl.pallas_call(
+        _subquant_pack_kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, TL, D), lambda bh, i: (bh, i, 0)),
+                  pl.BlockSpec((1, 1, D), lambda bh, i: (bh, 0, 0)),
+                  pl.BlockSpec((1, TL, D), lambda bh, i: (bh, i, 0))],
+        out_specs=(pl.BlockSpec((1, TL, 2 * D), lambda bh, i: (bh, i, 0)),
+                   pl.BlockSpec((1, TL, 1), lambda bh, i: (bh, i, 0))),
+        out_shape=(jax.ShapeDtypeStruct((BH, Lp + block_k, 2 * D), jnp.int8),
+                   jax.ShapeDtypeStruct((BH, Lp, 1), jnp.float32)),
+        interpret=interpret,
+    )(k2, m, v2)
+    return kvi, sc.reshape(B, H, Lp, 1)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -105,6 +105,24 @@ def param_sharding_spec(path_leaf_shape, mesh: Mesh) -> P:
     return P()
 
 
+def per_device_param_bytes(param_shapes, mesh: Mesh) -> int:
+    """Per-device resident bytes of a param tree under param_sharding_spec —
+    an eval_shape-level HBM budget check (no arrays materialized). Use
+    before committing a model+mesh combination to real chips."""
+    total = 0
+    for leaf in jax.tree.leaves(param_shapes):
+        spec = param_sharding_spec(leaf.shape, mesh)
+        div = 1
+        for axis in spec:
+            if axis is not None:
+                div *= mesh.shape[axis]
+        n = 1
+        for s in leaf.shape:
+            n *= s
+        total += n * leaf.dtype.itemsize // div
+    return total
+
+
 def shard_params(params, mesh: Mesh):
     """Place a parameter pytree on the mesh with FSDP sharding."""
     def place(leaf):
