@@ -83,3 +83,30 @@ def test_serve_tui_smoke(tmp_path):
     assert "done in" in r.stdout
     assert os.path.exists(str(tmp_path / "out_001.npz")) or \
         os.path.exists(str(tmp_path / "out_001.mp4"))
+
+
+def test_ltx_t2av_checkpoint_flag(tmp_path):
+    """--checkpoint loads a comfy-layout generator state dict end-to-end
+    (VERDICT r2 #1: the flag used to be accepted and silently ignored)."""
+    import torch
+    import jax.numpy as jnp
+    from turbodiffusion_tpu.models.ltx import init_ltx_params, ltx_test_config
+    from tests.test_ltx_import import _export_state_dict
+
+    cfg = ltx_test_config(
+        video_heads=1, video_head_dim=128, audio_heads=1, audio_head_dim=64,
+        cross_attention_dim=128, audio_cross_attention_dim=64,
+        caption_channels=32, dtype=jnp.float32)
+    params = init_ltx_params(jax.random.PRNGKey(0), cfg)
+    sd = _export_state_dict(params, cfg)
+    path = str(tmp_path / "gen.pth")
+    torch.save({("model.diffusion_model." + k): torch.from_numpy(
+        np.asarray(v).copy()) for k, v in sd.items()}, path)
+
+    r = _run(["turbodiffusion_tpu.inference.ltx_t2av",
+              "--checkpoint", path, "--height", "64", "--width", "64",
+              "--num_frames", "9", "--num_steps", "1"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "loading generator from" in r.stdout
+    assert f"loaded LTX-2 ({cfg.num_layers} layers" in r.stdout
+    assert "finite: True" in r.stdout

@@ -262,13 +262,18 @@ def _pick_bn_div(N: int, lo: int = 384, hi: int = 1024) -> int:
 
 
 def _postscale_gemm_qout_kernel(xq_ref, wq_ref, rs_ref, cs_ref, bias_ref,
-                                o_ref, os_ref, acc_scr, *, n_k: int,
-                                act: Optional[str], has_bias: bool):
-    k = pl.program_id(2)
+                                o_ref, os_ref, scs_scr, acc_scr, *,
+                                n_k: int, n_n: int, act: Optional[str],
+                                has_bias: bool):
+    n, k = pl.program_id(1), pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    @pl.when((n == 0) & (k == 0))
+    def _():
+        scs_scr[...] = jnp.zeros_like(scs_scr)
 
     acc_scr[...] += jax.lax.dot_general(
         xq_ref[...], wq_ref[...], (((1,), (0,)), ((), ())),
@@ -284,11 +289,19 @@ def _postscale_gemm_qout_kernel(xq_ref, wq_ref, rs_ref, cs_ref, bias_ref,
             out = jax.nn.gelu(out, approximate=True)
         # per-(row, N-tile) int8 quantization rides the epilogue — the
         # consumer GEMM rescales per K-block (the standalone quantize_rows
-        # pass over the FFN hidden is a 0.9 GB HBM round trip at 480p)
+        # pass over the FFN hidden is a 0.9 GB HBM round trip at 480p).
+        # Scales collect in a (BM, n_n) scratch selected by a one-hot lane
+        # mask ((BM, 1) output blocks violate the TPU lane tiling) and
+        # flush once on the last n tile.
         amax = jnp.max(jnp.abs(out), axis=-1, keepdims=True)
         scale = jnp.maximum(amax, 1e-8) * (1.0 / INT8_MAX)
         o_ref[...] = jnp.round(out * (1.0 / scale)).astype(jnp.int8)
-        os_ref[...] = scale
+        lane = jax.lax.broadcasted_iota(jnp.int32, scs_scr.shape, 1)
+        scs_scr[...] = jnp.where(lane == n, scale, scs_scr[...])
+
+    @pl.when((k == n_k - 1) & (n == n_n - 1))
+    def _():
+        os_ref[...] = scs_scr[...]
 
 
 @functools.partial(jax.jit, static_argnames=("act", "has_bias", "interpret"))
@@ -304,7 +317,10 @@ def int8_gemm_postscale_qout_pallas(xq, row_scale, wq, col_scale, bias=None,
     assert K % 128 == 0
     BN = _pick_bn_div(N)
     assert BN, f"N={N} has no lane-multiple divisor in [384, 1024]"
-    BM = min(1024, max(8, M))
+    # the epilogue holds an fp32 (BM, BN) temp next to the int32 acc — BM 512
+    # keeps the worst case (BN 896 + double-buffered int8 ins) under the
+    # 16 MB scoped-vmem limit
+    BM = min(512, max(8, M))
     BK = _pick_bk(K)
     n_k = K // BK
     grid = (_cdiv(M, BM), N // BN, n_k)
@@ -320,23 +336,27 @@ def int8_gemm_postscale_qout_pallas(xq, row_scale, wq, col_scale, bias=None,
         in_specs.append(pl.BlockSpec((1, BN), lambda m, n, k: (0, n)))
         args.append(bias.reshape(1, N).astype(jnp.float32))
 
+    n_n = N // BN
+
     def kernel(*refs):
         bias_ref = refs[4] if has_bias else None
         _postscale_gemm_qout_kernel(refs[0], refs[1], refs[2], refs[3],
-                                    bias_ref, refs[-3], refs[-2], refs[-1],
-                                    n_k=n_k, act=act, has_bias=has_bias)
+                                    bias_ref, refs[-4], refs[-3], refs[-2],
+                                    refs[-1], n_k=n_k, n_n=n_n, act=act,
+                                    has_bias=has_bias)
 
     y, ys = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=(pl.BlockSpec((BM, BN), lambda m, n, k: (m, n)),
-                   pl.BlockSpec((BM, 1), lambda m, n, k: (m, n))),
+                   pl.BlockSpec((BM, n_n), lambda m, n, k: (m, 0))),
         out_shape=(jax.ShapeDtypeStruct((M, N), jnp.int8),
-                   jax.ShapeDtypeStruct((M, N // BN), jnp.float32)),
-        scratch_shapes=[pltpu.VMEM((BM, BN), jnp.int32)],
+                   jax.ShapeDtypeStruct((M, n_n), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((BM, n_n), jnp.float32),
+                        pltpu.VMEM((BM, BN), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary", "arbitrary")),
         interpret=interpret,
     )(*args)
     return y, ys
@@ -356,8 +376,13 @@ def _blockact_gemm_kernel(xq_ref, wq_ref, xs_ref, cs_ref, bias_ref,
         preferred_element_type=jnp.int32)
     # per-K-block activation rescale (the producer's per-(row, tile) scale),
     # accumulated in fp32 — the reference CuTe GEMM's per-K-block pattern
-    # (ops/gemm/kernel.hpp:417-419) with a rank-1 scale
-    acc_scr[...] += prod.astype(jnp.float32) * xs_ref[...]
+    # (ops/gemm/kernel.hpp:417-419) with a rank-1 scale. The whole (BM, n_k)
+    # scale stripe is resident; column k is selected with a one-hot lane
+    # mask (dynamic lane indexing is unsupported).
+    lane = jax.lax.broadcasted_iota(jnp.int32, xs_ref.shape, 1)
+    xsel = jnp.sum(jnp.where(lane == k, xs_ref[...], 0.0), axis=1,
+                   keepdims=True)
+    acc_scr[...] += prod.astype(jnp.float32) * xsel
 
     @pl.when(k == n_k - 1)
     def _():
@@ -398,7 +423,7 @@ def int8_gemm_blockact_pallas(xq, x_scale, wq, col_scale, bias=None,
     in_specs = [
         pl.BlockSpec((BM, bk), lambda m, n, k: (m, k)),
         pl.BlockSpec((bk, BN), lambda m, n, k: (k, n)),
-        pl.BlockSpec((BM, 1), lambda m, n, k: (m, k)),
+        pl.BlockSpec((BM, n_k), lambda m, n, k: (m, 0)),
         pl.BlockSpec((1, BN), lambda m, n, k: (0, n)),
     ]
     args = [xq, wq, x_scale, col_scale.reshape(1, N)]
