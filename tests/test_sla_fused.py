@@ -102,9 +102,12 @@ def test_unfold_quant(data):
                                atol=float(jnp.abs(x).max()) / 80)
 
 
-def test_fused_full_coverage_matches_dense(data):
+@pytest.mark.parametrize("v_quant", ["row", "channel"])
+def test_fused_full_coverage_matches_dense(data, v_quant):
     """topk=1.0: every K block selected => fused SageSLA == dense softmax
-    attention on the normed+roped tensors, up to int8 quantization noise."""
+    attention on the normed+roped tensors, up to int8 quantization noise.
+    v_quant="channel" exercises the descriptor-minimal kernel (per-block K
+    scales in SMEM + per-channel V folded at the finalize)."""
     x, w, cosF, sinF = data
     kx = jax.random.split(jax.random.PRNGKey(7), 3)
     q_proj = jax.random.normal(kx[0], (B, L, HD), jnp.bfloat16)
@@ -112,7 +115,8 @@ def test_fused_full_coverage_matches_dense(data):
     v_proj = jax.random.normal(kx[2], (B, L, HD), jnp.bfloat16)
 
     cfg = AttentionConfig(backend="sagesla", sla_topk=1.0, block_q=128,
-                          block_k=128, linear_branch=False)
+                          block_k=128, linear_branch=False,
+                          v_quant=v_quant)
     o_planes = sla_attention_fused(
         q_proj, k_proj, v_proj, w, w, (cosF, sinF), None, cfg,
         num_heads=H, eps=1e-5, interpret=True)

@@ -69,12 +69,14 @@ class AttentionConfig:
     # (reference: acceleration.py:249-380, TURBOT2AV_SLA_SKIP_ZERO_LINEAR;
     # detected automatically at checkpoint load).
     linear_branch: bool = True
-    # INT8 V quantization granularity on the sagesla path: "row" (per-token)
-    # or "channel" (per-(head, channel) — the FP8-V analog; the reference
-    # sm90 path quantizes V per channel to FP8, SLA/core.py:218-229).
-    # "channel" is ~2-4x lower V-quant error at topk 0.1 because the scale
-    # is sequence-global, and costs one extra pass over V.
-    v_quant: str = "row"
+    # INT8 V quantization granularity on the sagesla path: "channel"
+    # (per-(head, channel) — the FP8-V analog; the reference sm90 path
+    # quantizes V per channel to FP8 and K per block, SLA/core.py:185-241)
+    # or "row" (per-token). "channel" is the default: on the fused path it
+    # enables the descriptor-minimal sparse kernel (per-block K scales ride
+    # an SMEM table; V scales fold at the finalize) — one DMA per gathered
+    # block instead of two.
+    v_quant: str = "channel"
 
 
 # ---------------------------------------------------------------------------

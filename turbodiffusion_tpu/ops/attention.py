@@ -345,19 +345,29 @@ def sla_attention_fused(q_proj, k_proj, v_proj, norm_q_w, norm_k_w, rope_cs,
 
     lut, _, k_mean = block_map_from_pooled(
         Q["pooled"], K["pooled"], L, cfg.block_k, cfg.sla_topk)
+    from turbodiffusion_tpu.ops.sla_fused import subquant_pack_kv
     if v_chan:
+        # descriptor-minimal path: per-block K scales (SMEM table) +
+        # per-channel V — one DMA per gathered block
         from turbodiffusion_tpu.ops.flash_pallas import quantize_v_per_channel
         vi, vcs = quantize_v_per_channel(V["bf16"], L)
-        vs = jnp.zeros((*vi.shape[:3], 1), jnp.float32)
+        kvi, ksb = subquant_pack_kv(K["bf16"], k_mean, vi, cfg.block_k,
+                                    block_scales=True, kv_len=L,
+                                    interpret=interpret)
+        zb = jnp.zeros((*vi.shape[:3], 1), jnp.float32)
+        o = sparse_attention_i8_planes(
+            Q["i8"], Q["scale"], None, zb, None, zb, lut,
+            block_q=cfg.block_q, block_k=cfg.block_k, kv_len=L,
+            v_channel_scale=vcs, kvi_packed=kvi, k_block_scale=ksb,
+            interpret=interpret)
     else:
-        vi, vs, vcs = V["i8"], V["scale"], None
-    from turbodiffusion_tpu.ops.sla_fused import subquant_pack_kv
-    kvi, ks = subquant_pack_kv(K["bf16"], k_mean, vi, cfg.block_k,
-                               interpret=interpret)
-    o = sparse_attention_i8_planes(
-        Q["i8"], Q["scale"], None, ks, None, vs, lut,
-        block_q=cfg.block_q, block_k=cfg.block_k, kv_len=L,
-        v_channel_scale=vcs, kvi_packed=kvi, interpret=interpret)
+        vi, vs = V["i8"], V["scale"]
+        kvi, ks = subquant_pack_kv(K["bf16"], k_mean, vi, cfg.block_k,
+                                   interpret=interpret)
+        o = sparse_attention_i8_planes(
+            Q["i8"], Q["scale"], None, ks, None, vs, lut,
+            block_q=cfg.block_q, block_k=cfg.block_k, kv_len=L,
+            kvi_packed=kvi, interpret=interpret)
     if lin:
         o = o + linear_projected_planes(
             Q["bf16"], K["bf16"], V["bf16"],

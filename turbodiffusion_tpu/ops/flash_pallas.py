@@ -386,6 +386,113 @@ def _sparse_attn_kernel_i8(lut_hbm, q_ref, qs_ref, kv_hbm, scb_hbm, vch_ref,
     o_ref[0] = o.astype(o_ref.dtype)
 
 
+def _sparse_attn_kernel_i8b(lut_hbm, q_ref, qs_ref, kv_hbm, ksc_ref,
+                            vch_ref, o_ref, kvbuf, sems, lut2_ref, lut_sem,
+                            acc_scr, *, block_k: int, sel: int, kv_len: int):
+    """Block-scale INT8 sparse attention — the DMA-descriptor-minimal
+    edition. vs _sparse_attn_kernel_i8: K is quantized per BLOCK (the
+    SageAttention granularity, SLA/core.py:185-241) with its scales in an
+    SMEM table read by block id, V per CHANNEL (the FP8-V analog) folded at
+    the finalize — so the only gathered stream is the packed K|V int8
+    itself: one DMA per selected block instead of two, and no (8, block_k)
+    fp32 metadata buffers. Sequence-tail and padded-LUT masking is an
+    iota/compare like the bf16 kernel (VPU-cheap next to the halved
+    descriptor pressure)."""
+    NBUF, tile_k, twoD = kvbuf.shape
+    D = twoD // 2
+    group = tile_k // block_k
+    n_groups = _cdiv(sel, group)
+    bh, i = pl.program_id(0), pl.program_id(1)
+
+    nQ = pl.num_programs(1)
+    step = bh * nQ + i
+    slot_now = jax.lax.rem(step, 2)
+
+    @pl.when(step == 0)
+    def _first_lut():
+        pltpu.make_async_copy(lut_hbm.at[0, 0], lut2_ref.at[0],
+                              lut_sem.at[0]).start()
+
+    @pl.when(step + 1 < pl.num_programs(0) * nQ)
+    def _next_lut():
+        nxt = step + 1
+        pltpu.make_async_copy(lut_hbm.at[nxt // nQ, jax.lax.rem(nxt, nQ)],
+                              lut2_ref.at[1 - slot_now],
+                              lut_sem.at[1 - slot_now]).start()
+
+    pltpu.make_async_copy(lut_hbm.at[bh, i], lut2_ref.at[slot_now],
+                          lut_sem.at[slot_now]).wait()
+    lut_ref = lut2_ref.at[slot_now]
+
+    def kv_dmas(slot, g):
+        ds = []
+        for t in range(group):
+            kb = lut_ref[g * group + t]
+            start = pl.multiple_of(kb * block_k, block_k)
+            ds.append(pltpu.make_async_copy(
+                kv_hbm.at[bh, pl.ds(start, block_k)],
+                kvbuf.at[slot, pl.ds(t * block_k, block_k)],
+                sems.at[0, slot]))
+        return ds
+
+    for gg in range(NBUF - 1):
+        @pl.when(gg < n_groups)
+        def _start(gg=gg):
+            for d in kv_dmas(gg, gg):
+                d.start()
+
+    m = jnp.full((q_ref.shape[1], 1), NEG_INF, jnp.float32)
+    l = jnp.zeros((q_ref.shape[1], 1), jnp.float32)
+    acc_scr[...] = jnp.zeros_like(acc_scr)
+    qq = q_ref[0]                     # (BQ, D) int8
+    qsc = qs_ref[0]                   # (BQ, 1) fp32 row scales (x softmax)
+
+    def body(g, carry):
+        m, l = carry
+        slot = jax.lax.rem(g, NBUF)
+
+        @pl.when(g + NBUF - 1 < n_groups)
+        def _prefetch():
+            for d in kv_dmas(jax.lax.rem(g + NBUF - 1, NBUF), g + NBUF - 1):
+                d.start()
+
+        for d in kv_dmas(slot, g):
+            d.wait()
+        k = kvbuf[slot, :, :D]        # (tile_k, D) int8
+        v = kvbuf[slot, :, D:]        # (tile_k, D) int8
+
+        s32 = jax.lax.dot_general(qq, k, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        s = s32.astype(jnp.float32) * qsc
+
+        # per-sub-block K scale (SMEM read by block id) + validity
+        sc_parts, col_parts = [], []
+        for t in range(group):
+            kb = lut_ref[g * group + t]
+            live = (g * group + t < sel).astype(jnp.float32)
+            sc_parts.append(jnp.full((1, block_k),
+                                     ksc_ref[0, kb] * live, jnp.float32))
+            col_parts.append(jnp.full((1, block_k), kb * block_k, jnp.int32))
+        krow = jnp.concatenate(sc_parts, axis=1)          # (1, tile_k)
+        within = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        col = jnp.concatenate(col_parts, axis=1) + \
+            jax.lax.rem(within, block_k)
+        s = jnp.where((col < kv_len) & (krow > 0.0), s * krow, NEG_INF)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
+        acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
+            p.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32)
+        return m_new, l_new
+
+    m, l = jax.lax.fori_loop(0, n_groups, body, (m, l))
+    o_ref[0] = ((acc_scr[...] / jnp.maximum(l, 1e-20)) * vch_ref[0]
+                ).astype(o_ref.dtype)
+
+
 def _rowquant_i8(x, eps=1e-6):
     """Per-row symmetric int8 quant: (N, L, D) -> int8 values + fp32 scales
     (N, L, 1). The absmax and scaling stay in the input dtype (bf16) so no
@@ -608,6 +715,7 @@ def sparse_attention_i8_planes(qi, qs, ki, ks, vi, vs, lut, *,
                                block_q: int = 256, block_k: int = 256,
                                kv_len: Optional[int] = None,
                                v_channel_scale=None, kvi_packed=None,
+                               k_block_scale=None,
                                interpret: bool = False):
     """Block-sparse SageSLA attention over pre-quantized head planes.
 
@@ -621,6 +729,11 @@ def sparse_attention_i8_planes(qi, qs, ki, ks, vi, vs, lut, *,
     the TPU analog of the reference's FP8 per-channel V on sm90
     (SLA/core.py:218-229): per-channel error is sequence-global, beating
     per-row at aggressive topk.
+
+    k_block_scale: optional (B, H, nK) fp32 — ki/kvi_packed is per-BLOCK
+    quantized (ks ignored; requires kvi_packed + v_channel_scale). Runs the
+    descriptor-minimal kernel: scales ride an SMEM table instead of gathered
+    metadata rows — one DMA per selected block instead of two.
     """
     B, H, Lp, D = qi.shape
     Lkp = (ki.shape[2] if kvi_packed is None
@@ -637,22 +750,67 @@ def sparse_attention_i8_planes(qi, qs, ki, ks, vi, vs, lut, *,
     qi = qi.reshape(BH, Lp, D)
     qs = qs.reshape(BH, Lp, 1) * scale              # fold softmax scale
 
+    blockscale = k_block_scale is not None
+    if blockscale:
+        assert kvi_packed is not None and v_channel_scale is not None
     # LUT: pad Q-block rows out to the padded grid (all-poison rows produce
     # zero output rows, which are dropped), pad entries to full groups with
-    # the POISON block id (nK), and pad the lane dim to the 128 tiling for
-    # aligned SMEM row DMAs.
+    # the POISON block id (nK; the blockscale kernel masks padded entries by
+    # index and uses id 0 to avoid reading past the array), and pad the lane
+    # dim to the 128 tiling for aligned SMEM row DMAs.
+    pad_id = 0 if blockscale else nK
     lut_flat = lut.reshape(BH, lut.shape[-2], sel).astype(jnp.int32)
     if lut_flat.shape[1] < nQ:
         lut_flat = jnp.pad(lut_flat,
                            ((0, 0), (0, nQ - lut_flat.shape[1]), (0, 0)),
-                           constant_values=nK)
+                           constant_values=pad_id)
     entry_pad = n_groups * GROUP - sel
     if entry_pad:
         lut_flat = jnp.pad(lut_flat, ((0, 0), (0, 0), (0, entry_pad)),
-                           constant_values=nK)
+                           constant_values=pad_id)
     sel_pad = _cdiv(n_groups * GROUP, 128) * 128
     lut_flat = jnp.pad(lut_flat,
                        ((0, 0), (0, 0), (0, sel_pad - n_groups * GROUP)))
+
+    if blockscale:
+        kvi = kvi_packed
+        vch = v_channel_scale.reshape(BH, 1, D).astype(jnp.float32)
+        ksc = k_block_scale.reshape(BH, -1).astype(jnp.float32)
+
+        def kernel(lut_hbm, q_ref, qs_ref, kv_hbm, ksc_ref, vch_ref, o_ref,
+                   kvbuf, sems, lut_ref, lut_sem, acc_scr):
+            _sparse_attn_kernel_i8b(
+                lut_hbm, q_ref, qs_ref, kv_hbm, ksc_ref, vch_ref, o_ref,
+                kvbuf, sems, lut_ref, lut_sem, acc_scr,
+                block_k=block_k, sel=sel, kv_len=kv_len)
+
+        q_spec = pl.BlockSpec((1, block_q, D), lambda bh, i: (bh, i, 0))
+        out = pl.pallas_call(
+            kernel,
+            grid=(BH, nQ),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),              # LUT
+                q_spec,
+                pl.BlockSpec((1, block_q, 1), lambda bh, i: (bh, i, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),              # K|V (HBM)
+                pl.BlockSpec((1, ksc.shape[1]), lambda bh, i: (bh, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, D), lambda bh, i: (bh, 0, 0)),
+            ],
+            out_specs=q_spec,
+            out_shape=jax.ShapeDtypeStruct((BH, Lp, D), jnp.bfloat16),
+            scratch_shapes=[
+                pltpu.VMEM((NBUF, GROUP * block_k, 2 * D), jnp.int8),
+                pltpu.SemaphoreType.DMA((2, NBUF)),
+                pltpu.SMEM((2, sel_pad), jnp.int32),            # LUT ring
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((block_q, D), jnp.float32),          # acc
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary")),
+            interpret=interpret,
+        )(lut_flat, qi, qs, kvi, ksc, vch)
+        return out.reshape(B, H, Lp, D)
 
     # pack K|V along features (one DMA descriptor per gathered block) and
     # append the poison block. Its K/V contents never reach a live score

@@ -223,7 +223,7 @@ def head_planes(x, weight=None, cos_full=None, sin_full=None, *,
         out_shape=tuple(out_shapes),
         interpret=interpret,
     )(*args)
-    if len(keys) == 1:
+    if not isinstance(outs, (tuple, list)):
         outs = (outs,)
     result = dict(zip(keys, outs))
     if pool:
@@ -300,28 +300,50 @@ def _subquant_kernel(x_ref, mu_ref, i8_ref, sc_ref):
     sc_ref[0] = scale
 
 
-def _subquant_pack_kernel(k_ref, mu_ref, v_ref, kv_ref, sc_ref):
+def _subquant_pack_kernel(k_ref, mu_ref, v_ref, kv_ref, sc_ref, *,
+                          block_k: int, kv_len: int):
     xf = k_ref[0].astype(jnp.float32) - mu_ref[0]
-    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
-    scale = jnp.maximum(amax, 1e-8) * (1.0 / INT8_MAX)
     D = xf.shape[-1]
-    kv_ref[0, :, :D] = jnp.round(xf * (1.0 / scale)).astype(jnp.int8)
+    if block_k:
+        # per-BLOCK scale (the SageAttention granularity): one scalar per
+        # block_k rows, broadcast back over the rows for the quantization.
+        # Rows past kv_len are unwritten garbage (possibly NaN) — exclude
+        # them from the block statistic or they poison the whole block.
+        TL = xf.shape[0]
+        nb = TL // block_k
+        offs = pl.program_id(1) * TL + \
+            jax.lax.broadcasted_iota(jnp.int32, (TL, 1), 0)
+        rowmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)   # (TL, 1)
+        rowmax = jnp.where(offs < kv_len, rowmax, 0.0)
+        bmax = jnp.max(rowmax.reshape(nb, block_k), axis=-1,
+                       keepdims=True)                           # (nb, 1)
+        scale = jnp.maximum(bmax, 1e-8) * (1.0 / INT8_MAX)
+        rows = jnp.broadcast_to(scale, (nb, block_k)).reshape(TL, 1)
+        kv_ref[0, :, :D] = jnp.round(xf * (1.0 / rows)).astype(jnp.int8)
+        sc_ref[0] = rows
+    else:
+        amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+        scale = jnp.maximum(amax, 1e-8) * (1.0 / INT8_MAX)
+        kv_ref[0, :, :D] = jnp.round(xf * (1.0 / scale)).astype(jnp.int8)
+        sc_ref[0] = scale
     kv_ref[0, :, D:] = v_ref[0]
-    sc_ref[0] = scale
 
 
-@functools.partial(jax.jit, static_argnames=("block_k", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block_k", "block_scales",
+                                              "kv_len", "interpret"))
 def subquant_pack_kv(k_planes, mu, v_i8, block_k: int,
+                     block_scales: bool = False, kv_len=None,
                      interpret: bool = False):
     """Smooth-k subtract + INT8 quantize of K, written directly into the
     packed (BH, Lkp + block_k, 2D) K|V layout the sparse kernel DMA-gathers —
     replaces the separate subquant + concatenate + poison-pad chain (three
     full passes over K|V) with one. The trailing poison block's contents are
-    never read through a live score (its bias is -1e30), so its rows are
-    left unwritten.
+    never read through a live score, so its rows are left unwritten.
 
     k_planes: (B, H, Lp, D) bf16; mu: (B, H, 1, D); v_i8: (B, H, Lp, D) int8.
-    Returns (kvi (B*H, Lp + block_k, 2D) int8, ks (B, H, Lp, 1) fp32)."""
+    block_scales=False: per-row scales, returns (kvi, ks (B, H, Lp, 1)).
+    block_scales=True: per-BLOCK scales for the descriptor-minimal kernel,
+    returns (kvi, ks (B, H, Lp // block_k))."""
     B, H, Lp, D = k_planes.shape
     BH = B * H
     k2 = k_planes.reshape(BH, Lp, D)
@@ -332,7 +354,9 @@ def subquant_pack_kv(k_planes, mu, v_i8, block_k: int,
     assert Lp % TL == 0, (Lp, TL)
     grid = (BH, Lp // TL)
     kvi, sc = pl.pallas_call(
-        _subquant_pack_kernel,
+        functools.partial(_subquant_pack_kernel,
+                          block_k=block_k if block_scales else 0,
+                          kv_len=kv_len if kv_len is not None else Lp),
         grid=grid,
         in_specs=[pl.BlockSpec((1, TL, D), lambda bh, i: (bh, i, 0)),
                   pl.BlockSpec((1, 1, D), lambda bh, i: (bh, 0, 0)),
@@ -343,6 +367,10 @@ def subquant_pack_kv(k_planes, mu, v_i8, block_k: int,
                    jax.ShapeDtypeStruct((BH, Lp, 1), jnp.float32)),
         interpret=interpret,
     )(k2, m, v2)
+    if block_scales:
+        # one scalar per block (rows within a block share it)
+        ks = sc.reshape(BH, Lp // block_k, block_k)[:, :, 0]
+        return kvi, ks.reshape(B, H, Lp // block_k)
     return kvi, sc.reshape(B, H, Lp, 1)
 
 
@@ -394,7 +422,13 @@ def unfold_quant(planes, out_len: int, interpret: bool = False):
     """(B,H,Lp,Dh) head-planes -> ((B,L,H*Dh) int8, (B,L,1) fp32) per-token
     quantized, ready for the W8A8 O-projection."""
     B, H, Lp, Dh = planes.shape
-    TL = min(512, Lp)
+    # ~14 bytes/element live (bf16 in + int8 out double-buffered + fp32
+    # temps); wide models (14B: H*Dh=5120) need short tiles to stay under
+    # the 16MB scoped-vmem limit
+    TL = 512
+    while TL > 64 and 14 * H * Dh * TL > 12_000_000:
+        TL //= 2
+    TL = min(TL, Lp)
     assert Lp % TL == 0
     grid = (B, Lp // TL)
     i8, sc = pl.pallas_call(

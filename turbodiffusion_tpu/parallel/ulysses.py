@@ -154,15 +154,23 @@ def ulysses_sla_fused(q_proj, k_proj, v_proj, norm_q_w, norm_k_w, rope_cs,
             Q["pooled"], K["pooled"], Lf, cfg.block_k, cfg.sla_topk)
         if v_chan:
             vi, vcs = quantize_v_per_channel(V["bf16"], Lf)
-            vs = jnp.zeros((*vi.shape[:3], 1), jnp.float32)
+            kvi, ksb = subquant_pack_kv(K["bf16"], k_mean, vi, cfg.block_k,
+                                        block_scales=True, kv_len=Lf,
+                                        interpret=interpret)
+            zb = jnp.zeros((*vi.shape[:3], 1), jnp.float32)
+            o = sparse_attention_i8_planes(
+                Q["i8"], Q["scale"], None, zb, None, zb, lut,
+                block_q=cfg.block_q, block_k=cfg.block_k, kv_len=Lf,
+                v_channel_scale=vcs, kvi_packed=kvi, k_block_scale=ksb,
+                interpret=interpret)
         else:
-            vi, vs, vcs = V["i8"], V["scale"], None
-        kvi, ks = subquant_pack_kv(K["bf16"], k_mean, vi, cfg.block_k,
-                                   interpret=interpret)
-        o = sparse_attention_i8_planes(
-            Q["i8"], Q["scale"], None, ks, None, vs, lut,
-            block_q=cfg.block_q, block_k=cfg.block_k, kv_len=Lf,
-            v_channel_scale=vcs, kvi_packed=kvi, interpret=interpret)
+            vi, vs = V["i8"], V["scale"]
+            kvi, ks = subquant_pack_kv(K["bf16"], k_mean, vi, cfg.block_k,
+                                       interpret=interpret)
+            o = sparse_attention_i8_planes(
+                Q["i8"], Q["scale"], None, ks, None, vs, lut,
+                block_q=cfg.block_q, block_k=cfg.block_k, kv_len=Lf,
+                kvi_packed=kvi, interpret=interpret)
         if lin:
             o = o + linear_projected_planes(
                 Q["bf16"], K["bf16"], V["bf16"], pl_w["w"], pl_w["b"],
