@@ -88,3 +88,43 @@ def test_fused_linear_attention_on_tpu():
     out = linear_attention_projected(q, k, v, w, b)
     err = np.abs(np.asarray(out, np.float32) - np.asarray(ref)).max()
     assert err < 2e-2, err
+
+
+@requires_tpu
+def test_blockscale_sparse_kernel_on_tpu():
+    """The descriptor-minimal SageSLA kernel (per-block K scales in SMEM +
+    per-channel V) vs the fp sparse reference at real geometry."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from turbodiffusion_tpu.config import AttentionConfig
+    from turbodiffusion_tpu.models.rope import rope_freqs_3d
+    from turbodiffusion_tpu.ops.attention import (
+        dense_attention_ref, sla_attention_fused)
+    from turbodiffusion_tpu.ops.fused_norm import (
+        rope_cos_sin_full, rmsnorm_rope_ref)
+    from turbodiffusion_tpu.ops.sla_fused import unfold_planes
+
+    B, L, H, Dh = 1, 2048, 4, 128
+    HD = H * Dh
+    ks = jax.random.split(jax.random.PRNGKey(5), 4)
+    q_proj = jax.random.normal(ks[0], (B, L, HD), jnp.bfloat16)
+    k_proj = jax.random.normal(ks[1], (B, L, HD), jnp.bfloat16)
+    v_proj = jax.random.normal(ks[2], (B, L, HD), jnp.bfloat16)
+    w = 1.0 + 0.1 * jax.random.normal(ks[3], (HD,), jnp.bfloat16)
+    rope_cs = rope_cos_sin_full(rope_freqs_3d(2, 32, 32, Dh))
+
+    cfg = AttentionConfig(backend="sagesla", sla_topk=1.0, block_q=256,
+                          block_k=256, linear_branch=False,
+                          v_quant="channel")
+    o = sla_attention_fused(q_proj, k_proj, v_proj, w, w, rope_cs, None,
+                            cfg, num_heads=H, eps=1e-5)
+    out = jnp.swapaxes(o[:, :, :L], 1, 2)
+
+    qn = rmsnorm_rope_ref(q_proj, w, *rope_cs, eps=1e-5)
+    kn = rmsnorm_rope_ref(k_proj, w, *rope_cs, eps=1e-5)
+    ref = dense_attention_ref(qn.astype(jnp.float32), kn.astype(jnp.float32),
+                              v_proj.reshape(B, L, H, Dh).astype(jnp.float32))
+    rel = np.abs(np.asarray(out, np.float32) - np.asarray(ref)).max() / \
+        np.abs(np.asarray(ref)).max()
+    assert rel < 0.06, rel

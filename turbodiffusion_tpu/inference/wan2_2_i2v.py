@@ -42,6 +42,13 @@ def parse_arguments() -> argparse.Namespace:
     p.add_argument("--attention_type", choices=["sla", "sagesla", "original"],
                    default="sagesla")
     p.add_argument("--sla_topk", type=float, default=0.1)
+    p.add_argument("--sla_block", type=int, default=256,
+                   choices=[64, 128, 256],
+                   help="sparse block granularity; 256 = TPU fast default, "
+                        "64/128 = reference-map parity (SLA/kernel.py:247)")
+    p.add_argument("--v_quant", choices=["channel", "row"],
+                   default="channel",
+                   help="sagesla INT8 V granularity (channel = FP8-V analog)")
     p.add_argument("--quant_linear", action="store_true")
     p.add_argument("--default_norm", action="store_true")
     p.add_argument("--serve", action="store_true")
@@ -80,6 +87,7 @@ def main():
         low_noise_path=args.low_noise_model_path,
         vae_path=args.vae_path, text_encoder_path=args.text_encoder_path,
         attention_type=args.attention_type, sla_topk=args.sla_topk,
+        sla_block=args.sla_block, v_quant=args.v_quant,
         quant_linear=args.quant_linear, seed=args.seed,
         mesh_config=parse_mesh(args.mesh))
     if args.model == "test":

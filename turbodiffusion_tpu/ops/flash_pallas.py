@@ -471,7 +471,7 @@ def _sparse_attn_kernel_i8b(lut_hbm, q_ref, qs_ref, kv_hbm, ksc_ref,
             kb = lut_ref[g * group + t]
             live = (g * group + t < sel).astype(jnp.float32)
             sc_parts.append(jnp.full((1, block_k),
-                                     ksc_ref[0, kb] * live, jnp.float32))
+                                     ksc_ref[0, 0, kb] * live, jnp.float32))
             col_parts.append(jnp.full((1, block_k), kb * block_k, jnp.int32))
         krow = jnp.concatenate(sc_parts, axis=1)          # (1, tile_k)
         within = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -775,7 +775,9 @@ def sparse_attention_i8_planes(qi, qs, ki, ks, vi, vs, lut, *,
     if blockscale:
         kvi = kvi_packed
         vch = v_channel_scale.reshape(BH, 1, D).astype(jnp.float32)
-        ksc = k_block_scale.reshape(BH, -1).astype(jnp.float32)
+        # (BH, 1, nKb): SMEM blocks obey the same last-two-dims tiling rule
+        # (block dim == array dim), so keep a unit middle axis
+        ksc = k_block_scale.reshape(BH, 1, -1).astype(jnp.float32)
 
         def kernel(lut_hbm, q_ref, qs_ref, kv_hbm, ksc_ref, vch_ref, o_ref,
                    kvbuf, sems, lut_ref, lut_sem, acc_scr):
@@ -793,7 +795,8 @@ def sparse_attention_i8_planes(qi, qs, ki, ks, vi, vs, lut, *,
                 q_spec,
                 pl.BlockSpec((1, block_q, 1), lambda bh, i: (bh, i, 0)),
                 pl.BlockSpec(memory_space=pl.ANY),              # K|V (HBM)
-                pl.BlockSpec((1, ksc.shape[1]), lambda bh, i: (bh, 0),
+                pl.BlockSpec((1, 1, ksc.shape[2]),
+                             lambda bh, i: (bh, 0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 1, D), lambda bh, i: (bh, 0, 0)),
             ],

@@ -315,10 +315,15 @@ def _subquant_pack_kernel(k_ref, mu_ref, v_ref, kv_ref, sc_ref, *,
             jax.lax.broadcasted_iota(jnp.int32, (TL, 1), 0)
         rowmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)   # (TL, 1)
         rowmax = jnp.where(offs < kv_len, rowmax, 0.0)
-        bmax = jnp.max(rowmax.reshape(nb, block_k), axis=-1,
-                       keepdims=True)                           # (nb, 1)
-        scale = jnp.maximum(bmax, 1e-8) * (1.0 / INT8_MAX)
-        rows = jnp.broadcast_to(scale, (nb, block_k)).reshape(TL, 1)
+        # per-block scalar max via static slices (a (TL,1)->(nb,block_k)
+        # reshape is an unsupported Mosaic shape cast)
+        segs = []
+        for bi in range(nb):
+            m = jnp.max(rowmax[bi * block_k:(bi + 1) * block_k])
+            segs.append(jnp.full((block_k, 1),
+                                 jnp.maximum(m, 1e-8) * (1.0 / INT8_MAX),
+                                 jnp.float32))
+        rows = jnp.concatenate(segs, axis=0)                    # (TL, 1)
         kv_ref[0, :, :D] = jnp.round(xf * (1.0 / rows)).astype(jnp.int8)
         sc_ref[0] = rows
     else:

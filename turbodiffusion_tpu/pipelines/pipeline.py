@@ -39,13 +39,18 @@ from turbodiffusion_tpu.utils.checkpoint import (
 
 
 def make_wan_cfg(model: str, attention_type: str = "sagesla",
-                 sla_topk: float = 0.1, quant_linear: bool = False) -> WanConfig:
+                 sla_topk: float = 0.1, quant_linear: bool = False,
+                 sla_block: int = 256,
+                 v_quant: str = "channel") -> WanConfig:
     """Build a WanConfig from the reference CLI flag surface
-    (wan2.1_t2v_infer.py:35-55)."""
+    (wan2.1_t2v_infer.py:35-55). sla_block: sparse map granularity — 256 is
+    the TPU fast default (measured 1.9x vs 128 at equal coverage); use
+    64/128 for parity with reference-trained SLA maps
+    (SLA/kernel.py:247-248). v_quant: INT8 V granularity (config.py)."""
     backend = attention_type if attention_type in ("sla", "sagesla") else "dense"
+    blk = 8 if model == "test" else sla_block
     attn = AttentionConfig(backend=backend, sla_topk=sla_topk,
-                           block_q=8 if model == "test" else 128,
-                           block_k=8 if model == "test" else 128)
+                           block_q=blk, block_k=blk, v_quant=v_quant)
     if model == "test":
         from turbodiffusion_tpu.config import wan_test_config
         return wan_test_config(attention=attn, quant_linear=quant_linear)
@@ -177,8 +182,10 @@ class WanPipeline:
                text_encoder_path: Optional[str] = None,
                attention_type: str = "sagesla", sla_topk: float = 0.1,
                quant_linear: bool = False, seed: int = 0,
-               mesh_config=None):
-        cfg = make_wan_cfg(model, attention_type, sla_topk, quant_linear)
+               mesh_config=None, sla_block: int = 256,
+               v_quant: str = "channel"):
+        cfg = make_wan_cfg(model, attention_type, sla_topk, quant_linear,
+                           sla_block=sla_block, v_quant=v_quant)
         params, cfg = load_dit(dit_path, cfg, seed)
         params_low = (load_dit(low_noise_path, cfg, seed + 1)[0]
                       if (low_noise_path is not None or
