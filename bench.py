@@ -41,13 +41,10 @@ def emit(metric, seconds, **extra):
 
 
 def _best(fn, *args, n=3):
-    jax.block_until_ready(fn(*args))
-    ts = []
-    for _ in range(n):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        ts.append(time.perf_counter() - t0)
-    return min(ts)
+    # fetch-synced: jax.block_until_ready is a no-op over the axon tunnel
+    # (utils/timing.py docstring has the evidence)
+    from turbodiffusion_tpu.utils.timing import measure_best
+    return measure_best(fn, *args, n=n)
 
 
 def _denoise_bench(model, gen, quant=True, fuse_qkv=True, linear=True,
@@ -130,7 +127,8 @@ def main():
         vp = init_vae_params(jax.random.PRNGKey(0))
         z = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 21, 60, 104),
                               jnp.float32)
-        chunk = int(os.environ.get("TDX_BENCH_VAE_CHUNK", "1"))
+        ck = os.environ.get("TDX_BENCH_VAE_CHUNK")
+        chunk = int(ck) if ck else None        # None = auto
         dt = _best(lambda p, z: vae_decode(p, z, chunk=chunk), vp, z)
         emit("wan2.1_1.3b_480p_vae_decode", dt)
     except Exception as e:                                # noqa: BLE001

@@ -184,17 +184,18 @@ def main():
         return bidirectional_av_sample(gen, video, audio, key, sigmas=sigmas,
                                        mode=args.stepping)
 
+    from turbodiffusion_tpu.utils.timing import fetch_sync
     t0 = time.time()
     vo, ao = generate(params, video, audio, ks)
-    jax.block_until_ready((vo, ao))
+    fetch_sync((vo, ao))
     print(f"compile+first generation: {time.time()-t0:.1f}s")
 
     if args.benchmark:
         for _ in range(args.warmup):
-            jax.block_until_ready(generate(params, video, audio, ks))
+            fetch_sync(generate(params, video, audio, ks))
         t0 = time.perf_counter()
         vo, ao = generate(params, video, audio, ks)
-        jax.block_until_ready((vo, ao))
+        fetch_sync((vo, ao))
         dt = time.perf_counter() - t0
         print(json.dumps({
             "metric": "ltx2_t2av_generator_only",
