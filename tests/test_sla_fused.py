@@ -133,6 +133,70 @@ def test_fused_full_coverage_matches_dense(data, v_quant):
     assert rel < 0.06, rel
 
 
+def test_fused_grad_matches_dense_chain(data):
+    """value_and_grad through sla_attention_fused (custom_vjp: fused fwd,
+    composable recompute bwd). At topk=1.0 the composable sparse path equals
+    dense attention, so grads must match the dense rmsnorm+rope+attention
+    chain up to the fwd's int8 noise entering the loss cotangent."""
+    x, w, cosF, sinF = data
+    kx = jax.random.split(jax.random.PRNGKey(9), 3)
+    q_proj = jax.random.normal(kx[0], (B, L, HD), jnp.bfloat16)
+    k_proj = jax.random.normal(kx[1], (B, L, HD), jnp.bfloat16)
+    v_proj = jax.random.normal(kx[2], (B, L, HD), jnp.bfloat16)
+    cfg = AttentionConfig(backend="sagesla", sla_topk=1.0, block_q=128,
+                          block_k=128, linear_branch=False)
+
+    def fused_loss(q_, k_, v_, w_):
+        o = sla_attention_fused(q_, k_, v_, w_, w_, (cosF, sinF), None, cfg,
+                                num_heads=H, eps=1e-5, interpret=True)
+        return jnp.sum(o[:, :, :L].astype(jnp.float32) ** 2)
+
+    def dense_loss(q_, k_, v_, w_):
+        q = rmsnorm_rope_ref(q_, w_, cosF, sinF, eps=1e-5)
+        k = rmsnorm_rope_ref(k_, w_, cosF, sinF, eps=1e-5)
+        v = v_.reshape(B, L, H, DH)
+        o = dense_attention_ref(q.astype(jnp.float32),
+                                k.astype(jnp.float32),
+                                v.astype(jnp.float32))
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    g1 = jax.grad(fused_loss, argnums=(0, 1, 2, 3))(q_proj, k_proj, v_proj,
+                                                    w)
+    g2 = jax.grad(dense_loss, argnums=(0, 1, 2, 3))(q_proj, k_proj, v_proj,
+                                                    w)
+    for a, b, name in zip(g1, g2, ["dq", "dk", "dv", "dw"]):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        scale = max(np.abs(b).max(), 1e-6)
+        assert np.isfinite(a).all(), name
+        assert np.abs(a - b).max() / scale < 0.15, (
+            name, np.abs(a - b).max() / scale)
+
+
+def test_fused_grad_sparse_qkv_fused_runs(data):
+    """Sparse coverage + fused-QKV input: grads exist, are finite, and the
+    padded rows [L, Lp) contribute nothing (their cotangents are sliced
+    away by the consumer)."""
+    x, w, cosF, sinF = data
+    kx = jax.random.split(jax.random.PRNGKey(10), 1)[0]
+    qkv = jax.random.normal(kx, (B, L, 3 * HD), jnp.bfloat16)
+    proj_l = {"w": jnp.zeros((DH, DH), jnp.float32),
+              "b": jnp.zeros((DH,), jnp.float32)}
+    cfg = AttentionConfig(backend="sagesla", sla_topk=0.5, block_q=128,
+                          block_k=128, linear_branch=True)
+
+    def loss(qkv_, pl_):
+        o = sla_attention_fused(qkv_, None, None, w, w, (cosF, sinF), pl_,
+                                cfg, num_heads=H, eps=1e-5, qkv_fused=True,
+                                interpret=True)
+        return jnp.sum(o[:, :, :L].astype(jnp.float32) ** 2)
+
+    g_qkv, g_pl = jax.grad(loss, argnums=(0, 1))(qkv, proj_l)
+    assert np.isfinite(np.asarray(g_qkv, np.float32)).all()
+    assert float(jnp.abs(g_qkv).max()) > 0
+    assert np.isfinite(np.asarray(g_pl["w"], np.float32)).all()
+
+
 def test_fused_with_linear_branch_zero_proj(data):
     """Zero proj_l => linear branch contributes exactly its bias (zero)."""
     x, w, cosF, sinF = data

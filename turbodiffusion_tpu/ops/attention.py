@@ -272,12 +272,68 @@ def sla_attention_fused(q_proj, k_proj, v_proj, norm_q_w, norm_k_w, rope_cs,
     Collapses RMSNorm-QK, RoPE, the fold transpose, block-map pooling,
     smooth-k, and all int8 quantization into head-plane Pallas passes
     (ops/sla_fused.py). Returns (B, H, Lp, Dh) bf16 planes — feed
-    `unfold_quant`/`unfold_planes` into the O projection. Inference path
-    (no VJP); training and non-TPU use `sla_attention`.
+    `unfold_quant`/`unfold_planes` into the O projection.
+
+    Differentiable: the forward runs the fused inference kernels; the
+    backward (custom_vjp) recomputes through the composable training path
+    (rmsnorm_rope + sla_attention, both of which carry their own fused
+    Pallas VJPs) — remat-style, so training forwards keep inference speed.
 
     qkv_fused: q_proj is a single (B, L, 3*H*Dh) fused-QKV GEMM output
     (k_proj/v_proj ignored); the Q/K/V splits ride BlockSpec column offsets.
     """
+    fn = _sla_fused_diff(cfg, num_heads, eps, qkv_fused, interpret)
+    return fn(q_proj, k_proj, v_proj, norm_q_w, norm_k_w, rope_cs, proj_l)
+
+
+@functools.lru_cache(maxsize=None)
+def _sla_fused_diff(cfg: AttentionConfig, num_heads: int, eps: float,
+                    qkv_fused: bool, interpret: bool):
+    """custom_vjp wrapper: fused-kernel forward, composable-path backward."""
+    from turbodiffusion_tpu.ops.fused_norm import rmsnorm_rope
+
+    H = num_heads
+
+    def composable(q_proj, k_proj, v_proj, nq, nk, rope_cs, proj_l, Lp):
+        if qkv_fused:
+            q_proj, k_proj, v_proj = jnp.split(q_proj, 3, axis=-1)
+        cosF, sinF = rope_cs
+        q = rmsnorm_rope(q_proj, nq, cosF, sinF, num_heads=H, eps=eps)
+        k = rmsnorm_rope(k_proj, nk, cosF, sinF, num_heads=H, eps=eps)
+        B, L, HD = q_proj.shape
+        v = v_proj.reshape(B, L, H, HD // H)
+        o = sla_attention(q, k, v, proj_l if cfg.linear_branch else None,
+                          cfg, int8_qk=cfg.backend == "sagesla")
+        planes = jnp.swapaxes(o, 1, 2)              # (B, H, L, Dh)
+        return jnp.pad(planes, ((0, 0), (0, 0), (0, Lp - L), (0, 0)))
+
+    @jax.custom_vjp
+    def f(q_proj, k_proj, v_proj, nq, nk, rope_cs, proj_l):
+        return _sla_attention_fused_impl(
+            q_proj, k_proj, v_proj, nq, nk, rope_cs, proj_l, cfg,
+            num_heads=H, eps=eps, qkv_fused=qkv_fused, interpret=interpret)
+
+    def fwd(q_proj, k_proj, v_proj, nq, nk, rope_cs, proj_l):
+        out = f(q_proj, k_proj, v_proj, nq, nk, rope_cs, proj_l)
+        return out, (q_proj, k_proj, v_proj, nq, nk, rope_cs, proj_l)
+
+    def bwd(res, g):
+        q_proj, k_proj, v_proj, nq, nk, rope_cs, proj_l = res
+        Lp = g.shape[2]
+        _, vjp = jax.vjp(
+            lambda *a: composable(*a, Lp), q_proj, k_proj, v_proj, nq, nk,
+            rope_cs, proj_l)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def _sla_attention_fused_impl(q_proj, k_proj, v_proj, norm_q_w, norm_k_w,
+                              rope_cs, proj_l, cfg: AttentionConfig, *,
+                              num_heads: int, eps: float = 1e-6,
+                              qkv_fused: bool = False,
+                              interpret: bool = False):
     from turbodiffusion_tpu.ops.flash_pallas import sparse_attention_i8_planes
     from turbodiffusion_tpu.ops.linear_attention_pallas import (
         linear_projected_planes)
