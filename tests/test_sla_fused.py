@@ -102,6 +102,21 @@ def test_unfold_quant(data):
                                atol=float(jnp.abs(x).max()) / 80)
 
 
+def test_unfold_quant_wide():
+    """Wide-model (H*Dh > 4096) two-pass path: per-token scales across all
+    heads, per-head int8 writes (the 14B O-projection feed; the one-pass
+    kernel VMEM-stack-OOMs at H=40)."""
+    Hw, Dh, Lw = 40, 128, 512
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, Lw, Hw * Dh),
+                          jnp.bfloat16)
+    planes = jnp.swapaxes(x.reshape(1, Lw, Hw, Dh), 1, 2)
+    i8, sc = unfold_quant(planes, Lw - 8, interpret=True)
+    assert i8.shape == (1, Lw - 8, Hw * Dh)
+    deq = np.asarray(i8, np.float32) * np.asarray(sc)
+    np.testing.assert_allclose(deq, np.asarray(x[:, :Lw - 8], np.float32),
+                               atol=float(jnp.abs(x).max()) / 80)
+
+
 @pytest.mark.parametrize("v_quant", ["row", "channel"])
 def test_fused_full_coverage_matches_dense(data, v_quant):
     """topk=1.0: every K block selected => fused SageSLA == dense softmax

@@ -422,18 +422,54 @@ def _unfold_quant_kernel(x_ref, i8_ref, sc_ref, *, H: int, Dh: int):
     sc_ref[0] = scale
 
 
+def _unfold_scale_kernel(x_ref, sc_ref, *, H: int):
+    m = jnp.zeros((x_ref.shape[2], 1), jnp.float32)
+    for h in range(H):
+        yf = x_ref[0, h].astype(jnp.float32)
+        m = jnp.maximum(m, jnp.max(jnp.abs(yf), axis=-1, keepdims=True))
+    sc_ref[0] = jnp.maximum(m, 1e-8) * (1.0 / INT8_MAX)
+
+
+def _unfold_write_kernel(x_ref, sc_ref, i8_ref):
+    yf = x_ref[0, 0].astype(jnp.float32)
+    i8_ref[0, :, 0, :] = jnp.round(yf / sc_ref[0]).astype(jnp.int8)
+
+
 @functools.partial(jax.jit, static_argnames=("out_len", "interpret"))
 def unfold_quant(planes, out_len: int, interpret: bool = False):
     """(B,H,Lp,Dh) head-planes -> ((B,L,H*Dh) int8, (B,L,1) fp32) per-token
     quantized, ready for the W8A8 O-projection."""
     B, H, Lp, Dh = planes.shape
-    # ~14 bytes/element live (bf16 in + int8 out double-buffered + fp32
-    # temps); wide models (14B: H*Dh=5120) need short tiles to stay under
-    # the 16MB scoped-vmem limit
-    TL = 512
-    while TL > 64 and 14 * H * Dh * TL > 12_000_000:
-        TL //= 2
-    TL = min(TL, Lp)
+    if H * Dh > 4096:
+        # wide models (14B: H*Dh=5120): the one-pass kernel's column-sliced
+        # int8 writes blow the Mosaic VMEM stack (measured 23.6M > 16M at
+        # H=40). Two passes instead: per-token amax over heads, then a
+        # per-(tile, head) int8 write into a (B, Lp, H, Dh) view of the
+        # row-major output — no lane-offset writes, tiny tiles.
+        TL = min(512, Lp)
+        assert Lp % TL == 0
+        sc = pl.pallas_call(
+            functools.partial(_unfold_scale_kernel, H=H),
+            grid=(B, Lp // TL),
+            in_specs=[pl.BlockSpec((1, H, TL, Dh),
+                                   lambda b, i: (b, 0, i, 0))],
+            out_specs=pl.BlockSpec((1, TL, 1), lambda b, i: (b, i, 0)),
+            out_shape=jax.ShapeDtypeStruct((B, Lp, 1), jnp.float32),
+            interpret=interpret,
+        )(planes)
+        i8 = pl.pallas_call(
+            _unfold_write_kernel,
+            grid=(B, Lp // TL, H),
+            in_specs=[pl.BlockSpec((1, 1, TL, Dh),
+                                   lambda b, i, h: (b, h, i, 0)),
+                      pl.BlockSpec((1, TL, 1), lambda b, i, h: (b, i, 0))],
+            out_specs=pl.BlockSpec((1, TL, 1, Dh),
+                                   lambda b, i, h: (b, i, h, 0)),
+            out_shape=jax.ShapeDtypeStruct((B, Lp, H, Dh), jnp.int8),
+            interpret=interpret,
+        )(planes, sc)
+        return i8.reshape(B, Lp, H * Dh)[:, :out_len], sc[:, :out_len]
+    TL = min(512, Lp)
     assert Lp % TL == 0
     grid = (B, Lp // TL)
     i8, sc = pl.pallas_call(
