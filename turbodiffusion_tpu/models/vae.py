@@ -26,6 +26,7 @@ Semantics preserved exactly:
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -175,30 +176,83 @@ class _CacheIO:
         self.cache[key] = val
 
 
-def _causal_conv3d(p, x, io: _CacheIO, t_stride: int = 1):
+def _use_conv_pallas(w) -> bool:
+    """Opt-in (TDX_CONV_PALLAS=1) routing of 3x3-spatial convs to the Pallas
+    implicit-GEMM kernel (ops/conv_pallas.py). Default OFF: measured 6.4 s
+    vs 3.2 s for the XLA lowering at 480p/81f — the per-(dt,dh) patch
+    assembly loses to XLA's fused direct conv. Kept for A/B work; the
+    winning TPU path is the Winograd kernel (ops/winograd.py)."""
+    import os
+    return (jax.default_backend() == "tpu"
+            and os.environ.get("TDX_CONV_PALLAS", "0") == "1"
+            and w.ndim == 5 and w.shape[1] == 3 and w.shape[2] == 3)
+
+
+def _use_conv_wino(w, H: int, W: int) -> bool:
+    """Route 3x3-spatial convs to the fused Winograd F(2x2,3x3) kernel
+    (ops/winograd.py) on TPU: 2.25x fewer MXU multiplies than direct conv
+    and the norm/silu/bias/residual glue rides the kernel. Quad layout
+    needs even spatial dims (every Wan decoder stage is). Opt-in
+    (TDX_CONV_WINO=1) while the kernel's tiling is being tuned: measured
+    2x slower than the XLA direct conv at the hot stages (TH2=1 tiles,
+    scripts_dev/probe_wino.py)."""
+    import os
+    return (jax.default_backend() == "tpu"
+            and os.environ.get("TDX_CONV_WINO", "0") == "1"
+            and w.ndim == 5 and w.shape[1] == 3 and w.shape[2] == 3
+            and H % 2 == 0 and W % 2 == 0)
+
+
+def _conv_fused_or_taps(p, x_in, t_stride: int, pre=None, gamma=None,
+                        residual=None):
+    """x_in: temporally extended input. Fused Pallas path when applicable,
+    else the norm/silu is applied here and the tap decomposition runs."""
+    if (t_stride == 1
+            and _use_conv_wino(p["w"], x_in.shape[2], x_in.shape[3])):
+        from turbodiffusion_tpu.ops.winograd import wino_conv
+        g = None if gamma is None else gamma.reshape(-1)
+        return wino_conv(x_in, p["w"], p["b"], gamma=g, residual=residual,
+                         pre=pre if pre else "none")
+    if t_stride == 1 and _use_conv_pallas(p["w"]):
+        from turbodiffusion_tpu.ops.conv_pallas import conv3x3_fused
+        g = None if gamma is None else gamma.reshape(-1)
+        return conv3x3_fused(x_in, p["w"], p["b"], gamma=g,
+                             residual=residual,
+                             pre=pre if pre else "none")
+    if pre == "norm_silu":
+        x_in = jax.nn.silu(_channel_rms_norm(x_in, gamma, x_in.shape[-1]))
+    out = _conv3d_cl(p, x_in, t_stride=t_stride)
+    if residual is not None:
+        out = out + residual
+    return out
+
+
+def _causal_conv3d(p, x, io: _CacheIO, t_stride: int = 1, pre=None,
+                   gamma=None, residual=None):
     """CausalConv3d with 2-frame temporal cache (wan2pt1.py:37-55).
-    x: (B, T, H, W, C)."""
+    x: (B, T, H, W, C). pre="norm_silu" fuses the ResidualBlock's
+    norm+SiLU into the conv (the cache then holds RAW frames — numerically
+    identical, the norm is per-frame pointwise)."""
     if p["w"].shape[0] > 1:
         key, cache = io.pull(CACHE_T, x)
         x_in = jnp.concatenate([cache, x], axis=1)
         io.push(key, x_in[:, -CACHE_T:])
-        return _conv3d_cl(p, x_in, t_stride=t_stride)
-    return _conv3d_cl(p, x, t_stride=t_stride)
+        return _conv_fused_or_taps(p, x_in, t_stride, pre=pre, gamma=gamma,
+                                   residual=residual)
+    return _conv_fused_or_taps(p, x, t_stride, pre=pre, gamma=gamma,
+                               residual=residual)
 
 
 def _resblock(p, x, io: _CacheIO):
     """ResidualBlock (wan2pt1.py:180-215): RMS->SiLU->conv ->RMS->SiLU->conv
-    + shortcut."""
-    C_in = x.shape[-1]
-    h = _channel_rms_norm(x, p["norm1"]["gamma"], C_in)
-    h = jax.nn.silu(h)
-    h = _causal_conv3d(p["conv1"], h, io)
-    C_mid = h.shape[-1]
-    h = _channel_rms_norm(h, p["norm2"]["gamma"], C_mid)
-    h = jax.nn.silu(h)
-    h = _causal_conv3d(p["conv2"], h, io)
+    + shortcut. Norm+SiLU and the residual add ride the fused conv kernel
+    on TPU (the cache stores raw frames; norm is per-frame pointwise, so
+    normed(cache) is identical either way)."""
+    h = _causal_conv3d(p["conv1"], x, io, pre="norm_silu",
+                       gamma=p["norm1"]["gamma"])
     short = x if p.get("shortcut") is None else _conv1_cl(p["shortcut"], x)
-    return h + short
+    return _causal_conv3d(p["conv2"], h, io, pre="norm_silu",
+                          gamma=p["norm2"]["gamma"], residual=short)
 
 
 def _attn_block(p, x):
@@ -219,9 +273,16 @@ def _attn_block(p, x):
 def _spatial_upsample(p, x):
     """nearest-exact 2x + Conv2d(dim, dim//2, 3) (wan2pt1.py:93-96)."""
     B, T, H, W, C = x.shape
-    h = x.reshape(B * T, H, W, C)
-    h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
-    h = _conv2d_cl(p["conv"]["w"], p["conv"]["b"], h)
+    h = jnp.repeat(jnp.repeat(x, 2, axis=2), 2, axis=3)
+    w = p["conv"]["w"]
+    w5 = w[None] if w.ndim == 4 else w
+    if _use_conv_wino(w5, 2 * H, 2 * W):
+        from turbodiffusion_tpu.ops.winograd import wino_conv
+        return wino_conv(h, w5, p["conv"]["b"])
+    if _use_conv_pallas(w5):
+        from turbodiffusion_tpu.ops.conv_pallas import conv3x3_fused
+        return conv3x3_fused(h, w5, p["conv"]["b"])
+    h = _conv2d_cl(w, p["conv"]["b"], h.reshape(B * T, 2 * H, 2 * W, C))
     return h.reshape(B, T, 2 * H, 2 * W, -1)
 
 
@@ -288,9 +349,8 @@ def decoder_apply(params, x, cache: Optional[Dict], first: bool):
             h = _upsample3d(layer, h, io)
         else:
             h = _spatial_upsample(layer, h)
-    h = _channel_rms_norm(h, params["head_norm"]["gamma"], h.shape[-1])
-    h = jax.nn.silu(h)
-    h = _causal_conv3d(params["head_conv"], h, io)
+    h = _causal_conv3d(params["head_conv"], h, io, pre="norm_silu",
+                       gamma=params["head_norm"]["gamma"])
     return h, io.cache
 
 
@@ -307,9 +367,8 @@ def encoder_apply(params, x, cache: Optional[Dict], first: bool):
             h = _spatial_downsample(layer, h)
     for blk in params["middle"]:
         h = _attn_block(blk, h) if "to_qkv" in blk else _resblock(blk, h, io)
-    h = _channel_rms_norm(h, params["head_norm"]["gamma"], h.shape[-1])
-    h = jax.nn.silu(h)
-    h = _causal_conv3d(params["head_conv"], h, io)
+    h = _causal_conv3d(params["head_conv"], h, io, pre="norm_silu",
+                       gamma=params["head_norm"]["gamma"])
     return h, io.cache
 
 
@@ -323,12 +382,36 @@ def _latent_scale():
     return mean, std
 
 
-@functools.partial(jax.jit, static_argnames=("chunk",))
-def vae_decode(params, z, chunk: int = 1):
+def _auto_chunk(T_rest: int, h: int, w: int) -> int:
+    """Largest latent-frame chunk that divides the stream and keeps the
+    stage-3 activations (~chunk * 4 frames * 64hw * 96ch bf16) under ~1.5 GB
+    — per-step overhead dominates at chunk=1 (measured 6.4 s vs 3.25 s at
+    chunk=4, 480p/81f)."""
+    if T_rest == 0:
+        return 1
+    budget = int(1.5e9)
+    for c in (8, 5, 4, 2):
+        if T_rest % c == 0 and c * 4 * 64 * h * w * 96 * 2 <= budget:
+            return c
+    return 1
+
+
+def vae_decode(params, z, chunk: Optional[int] = None):
     """Normalized latent (B, 16, T_lat, h, w) -> video (B, 3, 1+4*(T_lat-1),
     8h, 8w) in [-1, 1]. Streams `chunk` latent frames per scan step
-    (reference decodes frame-by-frame, wan2pt1.py:520-537). Channels-last
-    internally; the weight relayout happens once, outside the scan."""
+    (reference decodes frame-by-frame, wan2pt1.py:520-537; chunk=None
+    auto-picks). Channels-last internally; the weight relayout happens once,
+    outside the scan."""
+    if chunk is None:
+        chunk = _auto_chunk(z.shape[2] - 1, z.shape[3], z.shape[4])
+    # TDX_CONV_PALLAS is read at trace time deep in _causal_conv3d; thread
+    # it into the jit key so toggling it isn't masked by the trace cache.
+    flag = os.environ.get("TDX_CONV_PALLAS", "1")
+    return _vae_decode(params, z, chunk, _pallas_flag=flag)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "_pallas_flag"))
+def _vae_decode(params, z, chunk: int = 1, _pallas_flag: str = "1"):
     mean, std = _latent_scale()
     z = z.astype(jnp.float32) * std + mean
     dtype = params["conv2"]["w"].dtype
