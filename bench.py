@@ -166,10 +166,12 @@ def main():
         from turbodiffusion_tpu.models.wan import init_wan_params
         from turbodiffusion_tpu.training import distill as D
 
+        # remat="full": the sagesla grad step needs 21.4 GB at mm_only
+        # (measured via AOT compile) — full recompute fits one 16 GB chip
         cfg = wan_config("Wan2.1-1.3B",
                          attention=AttentionConfig(backend="sagesla",
                                                    sla_topk=0.1),
-                         remat="mm_only")
+                         remat="full")
         teacher = init_wan_params(jax.random.PRNGKey(0), cfg)
         dcfg = D.DistillConfig(loss_scale_dmd=0.0)   # pure sCM phase
         batch_lat = jax.random.normal(jax.random.PRNGKey(1),

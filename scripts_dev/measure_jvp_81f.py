@@ -30,7 +30,7 @@ def main():
     cfg = wan_config("Wan2.1-1.3B",
                      attention=AttentionConfig(backend="sagesla",
                                                sla_topk=0.1),
-                     remat="mm_only")
+                     remat="full")  # sagesla grad at mm_only needs 21.4 GB
     teacher = init_wan_params(jax.random.PRNGKey(0), cfg)
     batch = {
         "latents": jax.random.normal(jax.random.PRNGKey(1),

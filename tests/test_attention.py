@@ -311,3 +311,27 @@ def test_block_granularity_quality_stable_at_fixed_coverage():
     errs = {blk: rel_err(blk) for blk in (64, 128, 256)}
     assert errs[256] < 2.0 * errs[64] + 1e-3, errs
     assert errs[128] < 2.0 * errs[64] + 1e-3, errs
+
+
+def test_cross_attention_qout_matches_ref():
+    """Fused cross-attention + per-token int8 O-feed (the quantize_rows
+    deletion): dequantized output == dense reference attention within int8
+    rounding; scales match quantize_rows semantics (per token over all
+    heads)."""
+    from turbodiffusion_tpu.ops.flash_pallas import cross_attention_qout
+
+    B, Lq, Lk, H, D = 1, 300, 77, 3, 128   # ragged Lq/Lk tails
+    ks = jax.random.split(jax.random.PRNGKey(11), 3)
+    q = jax.random.normal(ks[0], (B, Lq, H, D), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (B, Lk, H, D), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (B, Lk, H, D), jnp.bfloat16)
+
+    i8, sc = cross_attention_qout(q, k, v, interpret=True)
+    assert i8.shape == (B, Lq, H * D) and sc.shape == (B, Lq, 1)
+    deq = np.asarray(i8, np.float32) * np.asarray(sc)
+
+    ref = dense_attention_ref(q.astype(jnp.float32), k.astype(jnp.float32),
+                              v.astype(jnp.float32))
+    ref = np.asarray(ref, np.float32).reshape(B, Lq, H * D)
+    err = np.abs(deq - ref).max() / max(np.abs(ref).max(), 1e-6)
+    assert err < 0.02, err

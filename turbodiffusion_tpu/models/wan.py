@@ -187,6 +187,18 @@ def _cross_attention(p, x, context, cfg: WanConfig, img_context=None,
     v = linear_maybe_quant(p["v"], context)
     k = k.reshape(B, -1, H, Dh)
     v = v.reshape(B, -1, H, Dh)
+    import jax as _jax
+    if ("w_int8" in p["o"] and p["o"]["scale"].ndim == 1
+            and img_context is None
+            and not cfg.attention.jvp_mode
+            and not cfg.attention.use_reference_impl
+            and _jax.default_backend() == "tpu" and Dh % 128 == 0):
+        # fused attention + per-token int8 O-feed: the unfold transpose and
+        # the standalone quantize_rows pass both disappear
+        from turbodiffusion_tpu.ops.flash_pallas import cross_attention_qout
+        from turbodiffusion_tpu.ops.quant import int8_linear_prequant
+        xq8, rs = cross_attention_qout(q, k, v)
+        return int8_linear_prequant(xq8, rs, p["o"], residual=residual)
     o = dense_attention(q, k, v,
                         use_reference_impl=cfg.attention.use_reference_impl,
                         jvp_mode=cfg.attention.jvp_mode)

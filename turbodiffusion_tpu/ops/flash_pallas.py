@@ -133,6 +133,84 @@ def _attn_kernel_onepass(q_ref, k_ref, v_ref, o_ref, *, scale: float,
     o_ref[0] = (o / l).astype(o_ref.dtype)
 
 
+def _cross_attn_qout_kernel(q_ref, k_ref, v_ref, i8_ref, sc_ref, o_scr,
+                            *, scale: float, kv_len: int, H: int, Dh: int):
+    """All-heads single-KV-tile attention with per-token INT8 output.
+
+    q_ref (H, BQ, Dh) / k,v (H, Lkp, Dh) head planes; emits the O-projection
+    feed directly: (BQ, H*Dh) int8 rows + per-token fp32 scales — the
+    unfold transpose AND the standalone quantize_rows HBM round trip both
+    disappear (each cost a full (L, D) read+write per layer)."""
+    for h in range(H):
+        q = q_ref[h]
+        k = k_ref[h]
+        v = v_ref[h]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-20)
+        o = jax.lax.dot(p.astype(v.dtype), v,
+                        preferred_element_type=jnp.float32)
+        o_scr[h] = o / l
+    amax = jnp.zeros((o_scr.shape[1], 1), jnp.float32)
+    for h in range(H):
+        amax = jnp.maximum(amax, jnp.max(jnp.abs(o_scr[h]), axis=-1,
+                                         keepdims=True))
+    sc = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
+    inv = 1.0 / sc
+    for h in range(H):
+        i8_ref[0, :, h * Dh:(h + 1) * Dh] = jnp.round(o_scr[h] * inv
+                                                      ).astype(jnp.int8)
+    sc_ref[0] = sc
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def cross_attention_qout(q, k, v, scale: Optional[float] = None,
+                         interpret: bool = False):
+    """Dense cross-attention (one K/V tile: 512 text tokens) fused with the
+    per-token INT8 quantization of the O-projection input.
+
+    q: (B, Lq, H, Dh); k, v: (B, Lk, H, Dh). Returns
+    (int8 (B, Lq, H*Dh), fp32 scales (B, Lq, 1)) for int8_linear_prequant.
+    Scales are per token across ALL heads — identical numerics to
+    quantize_rows_int8 on the unfolded output."""
+    B, Lq, H, Dh = q.shape
+    Lk = k.shape[1]
+    scale = Dh ** -0.5 if scale is None else float(scale)
+    Lkp = _cdiv(Lk, 128) * 128
+    BQ = min(256, _cdiv(Lq, 128) * 128)
+    nQ = _cdiv(Lq, BQ)
+    Lp = nQ * BQ
+
+    def fold(x, lp):
+        x = jnp.swapaxes(x, 1, 2).reshape(B * H, x.shape[1], Dh)
+        return jnp.pad(x, ((0, 0), (0, lp - x.shape[1]), (0, 0)))
+
+    qf, kf, vf = fold(q, Lp), fold(k, Lkp), fold(v, Lkp)
+    i8, sc = pl.pallas_call(
+        functools.partial(_cross_attn_qout_kernel, scale=scale, kv_len=Lk,
+                          H=H, Dh=Dh),
+        grid=(B, nQ),
+        in_specs=[
+            pl.BlockSpec((H, BQ, Dh), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((H, Lkp, Dh), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((H, Lkp, Dh), lambda b, i: (b, 0, 0)),
+        ],
+        out_specs=(pl.BlockSpec((1, BQ, H * Dh), lambda b, i: (b, i, 0)),
+                   pl.BlockSpec((1, BQ, 1), lambda b, i: (b, i, 0))),
+        out_shape=(jax.ShapeDtypeStruct((B, Lp, H * Dh), jnp.int8),
+                   jax.ShapeDtypeStruct((B, Lp, 1), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((H, BQ, Dh), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=interpret,
+    )(qf, kf, vf)
+    return i8[:, :Lq], sc[:, :Lq]
+
+
 def _sparse_attn_kernel(lut_hbm, q_ref, k_hbm, v_hbm, o_ref,
                         kbuf, vbuf, sems, lut2_ref, lut_sem, acc_scr,
                         *, scale: float, block_k: int, kv_len: int,

@@ -432,7 +432,7 @@ def _unfold_scale_kernel(x_ref, sc_ref, *, H: int):
 
 def _unfold_write_kernel(x_ref, sc_ref, i8_ref):
     yf = x_ref[0, 0].astype(jnp.float32)
-    i8_ref[0, :, 0, :] = jnp.round(yf / sc_ref[0]).astype(jnp.int8)
+    i8_ref[0] = jnp.round(yf / sc_ref[0]).astype(jnp.int8)
 
 
 @functools.partial(jax.jit, static_argnames=("out_len", "interpret"))
@@ -457,18 +457,19 @@ def unfold_quant(planes, out_len: int, interpret: bool = False):
             out_shape=jax.ShapeDtypeStruct((B, Lp, 1), jnp.float32),
             interpret=interpret,
         )(planes)
+        # per-(tile, head) int8 writes land at lane offset h*Dh of the
+        # row-major output — each program writes one clean (TL, 128) block
         i8 = pl.pallas_call(
             _unfold_write_kernel,
             grid=(B, Lp // TL, H),
             in_specs=[pl.BlockSpec((1, 1, TL, Dh),
                                    lambda b, i, h: (b, h, i, 0)),
                       pl.BlockSpec((1, TL, 1), lambda b, i, h: (b, i, 0))],
-            out_specs=pl.BlockSpec((1, TL, 1, Dh),
-                                   lambda b, i, h: (b, i, h, 0)),
-            out_shape=jax.ShapeDtypeStruct((B, Lp, H, Dh), jnp.int8),
+            out_specs=pl.BlockSpec((1, TL, Dh), lambda b, i, h: (b, i, h)),
+            out_shape=jax.ShapeDtypeStruct((B, Lp, H * Dh), jnp.int8),
             interpret=interpret,
         )(planes, sc)
-        return i8.reshape(B, Lp, H * Dh)[:, :out_len], sc[:, :out_len]
+        return i8[:, :out_len], sc[:, :out_len]
     TL = min(512, Lp)
     assert Lp % TL == 0
     grid = (B, Lp // TL)

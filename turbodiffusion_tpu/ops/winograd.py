@@ -16,20 +16,24 @@ TPU-first design notes:
     positions per 2x2 output tile) — materializing U for the 96ch 480x832
     stage would be 3+ GB per conv. Here U lives in a (M, kt*C) VMEM scratch
     per position.
+  * 2D tiles (TH2 x TW2 quad rows/cols) sized for M = TH2*TW2 ~ 1k GEMM
+    rows per program; the +1 halo row/column arrives as thin strip inputs
+    (row strip, col strip, corner) — input re-read stays (TH2+1)(TW2+1)/
+    (TH2*TW2), and no sliced copies happen outside the kernel.
+  * The Winograd row index i is the INNERMOST grid dim with an fp32
+    Y-accumulator scratch: one row position per program keeps the Mosaic
+    VMEM stack small (the fully-unrolled 16-dot body measured 17-20M of
+    stack against the 16M limit) and shrinks the resident weight block 4x.
   * The input transform is factored (row combos R[i] shared by the 4 col
     positions) and runs in bf16 on the VPU; the inverse transform exploits
     At's sparsity (9 of 16 positions per output sub-plane) accumulating
     into 4 fp32 sub-plane values.
-  * Grid is (o, t, h) with o OUTERMOST: the (16, kt*C, BO) transformed
-    weights stay VMEM-resident across the whole (t, h) sweep; inputs are
-    re-read nO times instead (cheap — the wide-C stages where nO > 1 have
-    16x fewer pixels).
   * Pre-op norm+SiLU (the ResidualBlock's RMSNorm, wan2pt1.py:180-215)
-    fuses into the tile load; bias + residual ride the epilogue.
+    fuses into the tile staging; bias + residual ride the epilogue.
 
-Numerics: transforms are exact +/-1 sums done in fp32 (inputs bf16), the
-GEMM is bf16 x bf16 -> fp32, matching the direct conv's precision to
-~bf16 roundoff (tested vs conv3x3_fused_ref).
+Numerics: transforms are exact +/-1 sums done on bf16 inputs (VPU
+upcasts internally), the GEMM is bf16 x bf16 -> fp32, matching the direct
+conv's precision to ~bf16 roundoff (tested vs conv3x3_fused_ref).
 """
 
 from __future__ import annotations
@@ -96,53 +100,55 @@ def _norm_silu(x, gamma, cdim: int):
     return y * jax.nn.sigmoid(y)
 
 
-def _kernel(*refs, kt: int, TH2: int, W2: int, C: int, BO: int, pre: str,
+def _kernel(*refs, kt: int, TH2: int, TW2: int, C: int, BO: int, pre: str,
             has_res: bool, out_dtype):
-    """Grid (o, t, h, i): the Winograd row index i is the innermost grid
-    dim. Each program stages (i==0) the normed quad tiles into q_ref, runs
-    the 4 column-position GEMMs of ONE row position, and accumulates the
-    At-sparse inverse into the y_ref scratch; i==3 adds bias/residual and
-    writes out. Keeping one i per program bounds the Mosaic VMEM stack (the
-    16-dot unrolled body measured 17-20M of stack, over the 16M limit) and
-    shrinks the resident weight block 4x."""
+    """Grid (o, t, h, w, i). i==0 stages the (optionally normed) quad tile
+    + halo strips into q_ref and zeroes the Y accumulator; each i runs the
+    4 column-position GEMMs of ONE Winograd row; i==3 adds bias/residual
+    and writes out."""
     it = iter(refs)
-    mains, halos = [], []                    # (4,1,TH2,W2p,C), (4,1,1,W2p,C)
+    mains, colhs, rowhs, corns = [], [], [], []
     for _ in range(kt):
-        mains.append(next(it))
-        halos.append(next(it))
+        mains.append(next(it))               # (4,1,TH2,TW2,C)
+        colhs.append(next(it))               # (4,1,TH2,1,C)
+        rowhs.append(next(it))               # (4,1,1,TW2,C)
+        corns.append(next(it))               # (4,1,1,1,C)
     w_ref = next(it)                         # (4, kt*C, BO) — rows of i
     b_ref = next(it)                         # (1, BO)
     g_ref = next(it) if pre == "norm_silu" else None
-    res_ref = next(it) if has_res else None  # (4, 1, TH2, W2, BO)
-    o_ref = next(it)                         # (4, 1, TH2, W2, BO)
-    u_ref = next(it)                         # scratch (TH2*W2, kt*C) bf16
-    q_ref = next(it)                         # scratch (kt, 4, TH2+1, W2p, C)
-    y_ref = next(it)                         # scratch (4, TH2*W2, BO) fp32
+    res_ref = next(it) if has_res else None  # (4, 1, TH2, TW2, BO)
+    o_ref = next(it)                         # (4, 1, TH2, TW2, BO)
+    u_ref = next(it)                         # scratch (TH2*TW2, kt*C) bf16
+    q_ref = next(it)                         # scratch (kt,4,TH2+1,TW2+1,C)
+    y_ref = next(it)                         # scratch (4, TH2*TW2, BO) f32
 
-    i = pl.program_id(3)
-    M = TH2 * W2
+    i = pl.program_id(4)
+    M = TH2 * TW2
 
     @pl.when(i == 0)
     def _stage():
-        # stage per-dt quad tiles (optionally normed) into scratch: the
-        # fp32 norm temporaries die per-tap; the staged values are shared
-        # by all 4 i-steps
         for dt in range(kt):
-            m = mains[dt][:, 0]
-            h = halos[dt][:, 0]
+            m = mains[dt][:, 0]                        # (4, TH2, TW2, C)
+            ch = colhs[dt][:, 0]                       # (4, TH2, 1, C)
+            rh = rowhs[dt][:, 0]                       # (4, 1, TW2, C)
+            cn = corns[dt][:, 0]                       # (4, 1, 1, C)
             if pre == "norm_silu":
                 g = g_ref[0].astype(jnp.float32)
                 m = _norm_silu(m, g, C).astype(jnp.bfloat16)
-                h = _norm_silu(h, g, C).astype(jnp.bfloat16)
-            q_ref[dt, :, :TH2] = m
-            q_ref[dt, :, TH2:] = h
+                ch = _norm_silu(ch, g, C).astype(jnp.bfloat16)
+                rh = _norm_silu(rh, g, C).astype(jnp.bfloat16)
+                cn = _norm_silu(cn, g, C).astype(jnp.bfloat16)
+            q_ref[dt, :, :TH2, :TW2] = m
+            q_ref[dt, :, :TH2, TW2:] = ch
+            q_ref[dt, :, TH2:, :TW2] = rh
+            q_ref[dt, :, TH2:, TW2:] = cn
         y_ref[...] = jnp.zeros_like(y_ref)
 
     def P(dt, a, b):
         # padded-pixel (2th+a, 2tw+b) = quad (2*(a%2)+(b%2), th+a//2,
         # tw+b//2)
         return q_ref[dt, 2 * (a % 2) + (b % 2),
-                     a // 2:a // 2 + TH2, b // 2:b // 2 + W2]
+                     a // 2:a // 2 + TH2, b // 2:b // 2 + TW2]
 
     for iv in range(4):
         @pl.when(i == iv)
@@ -190,17 +196,23 @@ def _kernel(*refs, kt: int, TH2: int, W2: int, C: int, BO: int, pre: str,
     def _emit():
         bias = b_ref[0].astype(jnp.float32)[None, :]
         for qi in range(4):
-            y = (y_ref[qi] + bias).reshape(TH2, W2, BO)
+            y = (y_ref[qi] + bias).reshape(TH2, TW2, BO)
             if has_res:
                 y = y + res_ref[qi, 0].astype(jnp.float32)
             o_ref[qi, 0] = y.astype(out_dtype)
 
 
-def _pick_tiles(kt: int, W2: int, C: int, O: int):
-    """(TH2, BO) under a ~6MB VMEM liveness budget (16MB physical; Mosaic's
-    measured stack ran ~1.6-1.9x a naive liveness model on this kernel, so
-    aim low). One i-row per program keeps R/U temporaries to a quarter of
-    the all-rows form."""
+def _tile_candidates(n: int, lo: int, hi: int):
+    """Divisor-preferred tile sizes for an axis of length n, in [lo, hi],
+    largest first; non-divisors allowed (the caller pads)."""
+    cands = [d for d in range(hi, lo - 1, -1) if n % d == 0]
+    return cands or [hi]
+
+
+def _pick_tiles(kt: int, H2: int, W2: int, C: int, O: int):
+    """(TH2, TW2, BO) targeting M = TH2*TW2 ~ 1k GEMM rows under a ~6.5MB
+    VMEM liveness model (16MB physical; Mosaic's measured stack ran
+    ~1.6-1.9x a naive model on this kernel, so aim low)."""
     if O <= 128:
         BO = O
     else:
@@ -208,33 +220,49 @@ def _pick_tiles(kt: int, W2: int, C: int, O: int):
         # widths are 96/192/384
         BO = next(c for c in (128, 96, 64, 32, 16, 8) if O % c == 0)
     BOp = max(BO, 128)
-    TH2 = 8
-    while TH2 > 1:
-        W2p = W2 + 1
-        blocks = kt * 4 * (TH2 + 1) * W2p * C * 2 * 2   # main+halo, 2-buf
-        qvals = kt * 4 * (TH2 + 1) * W2p * C * 2        # q_ref scratch
-        rvals = 4 * kt * TH2 * W2 * C * 2               # R planes (one i)
-        u = TH2 * W2 * kt * C * 2
-        wts = 2 * 4 * kt * C * BO * 2                   # one i-row, 2-buf
-        yv = (4 + 1) * TH2 * W2 * BOp * 4               # y_ref + s fp32
-        outb = 2 * 4 * TH2 * W2 * BOp * 2 * 2           # out+res, 2-buf
-        if blocks + qvals + rvals + u + wts + yv + outb <= 6_000_000:
+
+    def cost(TH2, TW2):
+        M = TH2 * TW2
+        mains = kt * 4 * TH2 * TW2 * C * 2 * 2
+        strips = kt * 4 * (TH2 + TW2 + 1) * C * 2 * 2
+        q = kt * 4 * (TH2 + 1) * (TW2 + 1) * C * 2
+        rvals = 4 * kt * M * C * 2                      # R planes (one i)
+        u = M * kt * C * 2
+        wts = 2 * 4 * kt * C * BO * 2
+        yv = (4 + 1) * M * BOp * 4
+        outb = 2 * 4 * M * BOp * 2 * 2
+        return mains + strips + q + rvals + u + wts + yv + outb
+
+    best = None
+    for TW2 in _tile_candidates(W2, min(W2, 32), min(W2, 144)):
+        for TH2 in (16, 8, 4, 2, 1):
+            if TH2 > H2:
+                continue
+            if cost(TH2, TW2) > 8_500_000:
+                continue
+            M = TH2 * TW2
+            # prefer larger M; tie-break toward squarer tiles (fewer halo
+            # bytes)
+            key = (min(M, 2048), -abs(TH2 * 8 - TW2))
+            if best is None or key > best[0]:
+                best = (key, TH2, TW2)
             break
-        TH2 //= 2
-    return TH2, BO
+    if best is None:
+        return 1, min(W2, 32), BO
+    return best[1], best[2], BO
 
 
 @functools.partial(jax.jit, static_argnames=("pre", "interpret", "out_dtype",
-                                             "th2"))
+                                             "tiles"))
 def wino_conv_q(xq, w, b, gamma=None, residual_q=None, pre: str = "none",
-                out_dtype=None, th2: Optional[int] = None,
-                interpret: bool = False):
+                out_dtype=None, tiles=None, interpret: bool = False):
     """Winograd conv on quads.
 
     xq: (4, BT2, H2p, W2p, C) from to_quad (1-padded), temporally extended
         (BT2 = B*(T_out + kt - 1));
     w:  (kt, 3, 3, C, O) tap-layout weights (transformed in here);
     residual_q: (4, B*T_out, H2, W2, O) added in the epilogue;
+    tiles: optional (TH2, TW2) override;
     returns (4, B*T_out, H2, W2, O), H2 = H2p - 1.
     """
     Q, BT2, H2p, W2p, C = xq.shape
@@ -244,65 +272,79 @@ def wino_conv_q(xq, w, b, gamma=None, residual_q=None, pre: str = "none",
     H2, W2 = H2p - 1, W2p - 1
     out_dtype = out_dtype or xq.dtype
 
-    TH2, BO = _pick_tiles(kt, W2, C, O)
-    if th2:
-        TH2 = th2
+    TH2, TW2, BO = _pick_tiles(kt, H2, W2, C, O)
+    if tiles:
+        TH2, TW2 = tiles
     nH = -(-H2 // TH2)
+    nW = -(-W2 // TW2)
     nO = O // BO
-    # pad rows so block (h+1)*TH2 exists for the last halo
-    if nH * TH2 + 1 > H2p:
-        xq = jnp.pad(xq, ((0, 0), (0, 0), (0, nH * TH2 + 1 - H2p), (0, 0),
-                          (0, 0)))
+    # pad so the last halo strip (row nH*TH2, col nW*TW2) exists
+    padH = max(0, nH * TH2 + 1 - H2p)
+    padW = max(0, nW * TW2 + 1 - W2p)
+    if padH or padW:
+        xq = jnp.pad(xq, ((0, 0), (0, 0), (0, padH), (0, padW), (0, 0)))
 
     wt = wino_weights(w).astype(jnp.bfloat16)
 
-    grid = (nO, BT, nH, 4)
+    grid = (nO, BT, nH, nW, 4)
     in_specs = []
     args = []
     for dt in range(kt):
         in_specs.append(pl.BlockSpec(
-            (4, 1, TH2, W2p, C),
-            lambda o, t, h, i, dt=dt: (0, t + dt, h, 0, 0)))
+            (4, 1, TH2, TW2, C),
+            lambda o, t, h, w_, i, dt=dt: (0, t + dt, h, w_, 0)))
         args.append(xq)
         in_specs.append(pl.BlockSpec(
-            (4, 1, 1, W2p, C),
-            lambda o, t, h, i, dt=dt: (0, t + dt, (h + 1) * TH2, 0, 0)))
+            (4, 1, TH2, 1, C),
+            lambda o, t, h, w_, i, dt=dt: (0, t + dt, h, (w_ + 1) * TW2,
+                                           0)))
+        args.append(xq)
+        in_specs.append(pl.BlockSpec(
+            (4, 1, 1, TW2, C),
+            lambda o, t, h, w_, i, dt=dt: (0, t + dt, (h + 1) * TH2, w_,
+                                           0)))
+        args.append(xq)
+        in_specs.append(pl.BlockSpec(
+            (4, 1, 1, 1, C),
+            lambda o, t, h, w_, i, dt=dt: (0, t + dt, (h + 1) * TH2,
+                                           (w_ + 1) * TW2, 0)))
         args.append(xq)
     in_specs.append(pl.BlockSpec((4, kt * C, BO),
-                                 lambda o, t, h, i: (i, 0, o)))
+                                 lambda o, t, h, w_, i: (i, 0, o)))
     args.append(wt)
-    in_specs.append(pl.BlockSpec((1, BO), lambda o, t, h, i: (0, o)))
+    in_specs.append(pl.BlockSpec((1, BO), lambda o, t, h, w_, i: (0, o)))
     args.append(b.reshape(1, O))
     if pre == "norm_silu":
-        in_specs.append(pl.BlockSpec((1, C), lambda o, t, h, i: (0, 0)))
+        in_specs.append(pl.BlockSpec((1, C), lambda o, t, h, w_, i: (0, 0)))
         args.append(gamma.reshape(1, C))
     has_res = residual_q is not None
     if has_res:
         in_specs.append(pl.BlockSpec(
-            (4, 1, TH2, W2, BO), lambda o, t, h, i: (0, t, h, 0, o)))
+            (4, 1, TH2, TW2, BO), lambda o, t, h, w_, i: (0, t, h, w_, o)))
         args.append(jnp.pad(residual_q,
-                            ((0, 0), (0, 0), (0, nH * TH2 - H2), (0, 0),
-                             (0, 0))))
+                            ((0, 0), (0, 0), (0, nH * TH2 - H2),
+                             (0, nW * TW2 - W2), (0, 0))))
 
     out = pl.pallas_call(
-        functools.partial(_kernel, kt=kt, TH2=TH2, W2=W2, C=C, BO=BO,
+        functools.partial(_kernel, kt=kt, TH2=TH2, TW2=TW2, C=C, BO=BO,
                           pre=pre, has_res=has_res, out_dtype=out_dtype),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (4, 1, TH2, W2, BO), lambda o, t, h, i: (0, t, h, 0, o)),
-        out_shape=jax.ShapeDtypeStruct((4, BT, nH * TH2, W2, O), out_dtype),
+            (4, 1, TH2, TW2, BO), lambda o, t, h, w_, i: (0, t, h, w_, o)),
+        out_shape=jax.ShapeDtypeStruct((4, BT, nH * TH2, nW * TW2, O),
+                                       out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((TH2 * W2, kt * C), jnp.bfloat16),
-            pltpu.VMEM((kt, 4, TH2 + 1, W2 + 1, C), jnp.bfloat16),
-            pltpu.VMEM((4, TH2 * W2, BO), jnp.float32),
+            pltpu.VMEM((TH2 * TW2, kt * C), jnp.bfloat16),
+            pltpu.VMEM((kt, 4, TH2 + 1, TW2 + 1, C), jnp.bfloat16),
+            pltpu.VMEM((4, TH2 * TW2, BO), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "parallel", "parallel",
-                                 "arbitrary")),
+                                 "parallel", "arbitrary")),
         interpret=interpret,
     )(*args)
-    return out[:, :, :H2]
+    return out[:, :, :H2, :W2]
 
 
 def wino_conv(x, w, b, gamma=None, residual=None, pre: str = "none",
