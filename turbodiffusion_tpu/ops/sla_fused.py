@@ -163,8 +163,11 @@ def head_planes(x, weight=None, cos_full=None, sin_full=None, *,
     Dh = HD // H
     Lp = pad_to or L
     # TL=256 keeps the worst case (bf16+i8+pool outputs, fp32 temps, double
-    # buffering) under the 16MB scoped-vmem limit at HD=1536
-    TL = min(256, Lp)
+    # buffering) under the 16MB scoped-vmem limit at HD=1536; calls that
+    # emit fewer outputs (the K/V passes: no int8+scale, or no pool) take
+    # 512-row tiles — half the grid steps at ~9.5MB modeled liveness
+    heavy = quant and bf16_out
+    TL = min(256 if (heavy or HD > 2048) else 512, Lp)
     assert Lp % TL == 0, (Lp, TL)
     if pool:
         assert TL % pool == 0, (TL, pool)
