@@ -126,3 +126,23 @@ def test_sla_attention_jvp_mode(backend):
         (q, k, v), (dq, dk, dv))
     np.testing.assert_allclose(o, o_ref, rtol=1e-3, atol=1e-5)
     np.testing.assert_allclose(do, do_ref, rtol=1e-3, atol=1e-4)
+
+
+def test_sparse_jvp_pallas_kernel_matches_ref():
+    """The Pallas sparse JVP kernel (grouped gather of packed K|V|dK|dV,
+    one-pass (o, do)) == jax.jvp through the masked reference. Ragged
+    sequence tail + padded LUT entries (sel not a multiple of GROUP)."""
+    from turbodiffusion_tpu.ops.flash_jvp_pallas import (
+        _flash_jvp_sparse_pallas)
+
+    bq = bk = 128
+    q, k, v, dq, dk, dv = _qkv_and_tangents(jax.random.PRNGKey(4), L=520)
+    scale = q.shape[-1] ** -0.5
+    _, lut, _ = get_block_map(q, k, 0.6, bq, bk)   # sel=3 -> GROUP pad
+    o_ref, do_ref = jax.jvp(
+        lambda q_, k_, v_: sparse_attention_ref(q_, k_, v_, lut, bq, bk),
+        (q, k, v), (dq, dk, dv))
+    o, do = _flash_jvp_sparse_pallas(q, k, v, dq, dk, dv, lut, scale=scale,
+                                     block_q=bq, block_k=bk, interpret=True)
+    np.testing.assert_allclose(o, o_ref, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(do, do_ref, rtol=1e-3, atol=1e-3)

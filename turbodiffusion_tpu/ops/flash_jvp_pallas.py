@@ -189,7 +189,208 @@ def _flash_jvp_dense_pallas(q, k, v, dq, dk, dv, *, scale, interpret):
 
 
 # ---------------------------------------------------------------------------
-# Sparse (SLA) JVP: LUT-gather per head, memory O(L * topk * block_k)
+# Sparse (SLA) JVP — Pallas kernel: grouped LUT-gather of packed
+# K|V|dK|dV, one streaming pass emitting (o, do)
+# ---------------------------------------------------------------------------
+
+def _sparse_jvp_kernel(lut_hbm, q_ref, dq_ref, kv4_hbm, o_ref, do_ref,
+                       kv4buf, sems, lut2_ref, lut_sem, acco_scr, acct_scr,
+                       *, scale: float, block_k: int, sel: int, kv_len: int):
+    """Grid (BH, nQ). The four gathered streams ride ONE packed
+    (BH, Lkp, 4D) bf16 array — one DMA descriptor per selected block, the
+    `_sparse_attn_kernel_i8b` economy applied to the tangent pass. Online
+    softmax carries (m, l, mu) plus two fp32 accumulators (o numerator,
+    tangent numerator), exactly the dense `_jvp_kernel` recurrence."""
+    NBUF, tile_k, fourD = kv4buf.shape
+    D = fourD // 4
+    group = tile_k // block_k
+    n_groups = _cdiv(sel, group)
+    bh, i = pl.program_id(0), pl.program_id(1)
+
+    nQ = pl.num_programs(1)
+    step = bh * nQ + i
+    slot_now = jax.lax.rem(step, 2)
+
+    @pl.when(step == 0)
+    def _first_lut():
+        pltpu.make_async_copy(lut_hbm.at[0, 0], lut2_ref.at[0],
+                              lut_sem.at[0]).start()
+
+    @pl.when(step + 1 < pl.num_programs(0) * nQ)
+    def _next_lut():
+        nxt = step + 1
+        pltpu.make_async_copy(lut_hbm.at[nxt // nQ, jax.lax.rem(nxt, nQ)],
+                              lut2_ref.at[1 - slot_now],
+                              lut_sem.at[1 - slot_now]).start()
+
+    pltpu.make_async_copy(lut_hbm.at[bh, i], lut2_ref.at[slot_now],
+                          lut_sem.at[slot_now]).wait()
+    lut_ref = lut2_ref.at[slot_now]
+
+    def kv_dmas(slot, g):
+        ds = []
+        for t in range(group):
+            kb = lut_ref[g * group + t]
+            start = pl.multiple_of(kb * block_k, block_k)
+            ds.append(pltpu.make_async_copy(
+                kv4_hbm.at[bh, pl.ds(start, block_k)],
+                kv4buf.at[slot, pl.ds(t * block_k, block_k)],
+                sems.at[slot]))
+        return ds
+
+    for gg in range(NBUF - 1):
+        @pl.when(gg < n_groups)
+        def _start(gg=gg):
+            for d in kv_dmas(gg, gg):
+                d.start()
+
+    BQ = q_ref.shape[1]
+    q, dq = q_ref[0], dq_ref[0]
+    acco_scr[...] = jnp.zeros_like(acco_scr)
+    acct_scr[...] = jnp.zeros_like(acct_scr)
+    m0 = jnp.full((BQ, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((BQ, 1), jnp.float32)
+    mu0 = jnp.zeros((BQ, 1), jnp.float32)
+
+    dims = (((1,), (1,)), ((), ()))
+
+    def body(g, carry):
+        m, l, mu = carry
+        slot = jax.lax.rem(g, NBUF)
+
+        @pl.when(g + NBUF - 1 < n_groups)
+        def _prefetch():
+            for d in kv_dmas(jax.lax.rem(g + NBUF - 1, NBUF), g + NBUF - 1):
+                d.start()
+
+        for d in kv_dmas(slot, g):
+            d.wait()
+        k = kv4buf[slot, :, :D]
+        v = kv4buf[slot, :, D:2 * D]
+        dk = kv4buf[slot, :, 2 * D:3 * D]
+        dv = kv4buf[slot, :, 3 * D:]
+
+        s = jax.lax.dot_general(q, k, dims,
+                                preferred_element_type=jnp.float32) * scale
+        ds = (jax.lax.dot_general(dq, k, dims,
+                                  preferred_element_type=jnp.float32)
+              + jax.lax.dot_general(q, dk,
+                                    preferred_element_type=jnp.float32,
+                                    dimension_numbers=dims)) * scale
+
+        # mask: real KV columns AND real (non-padded) LUT entries
+        within = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        t_idx = within // block_k
+        col_parts = [lut_ref[g * group + t] * block_k for t in range(group)]
+        kb_row = jnp.concatenate(
+            [jnp.full((1, block_k), cp, jnp.int32) for cp in col_parts],
+            axis=1)
+        col = kb_row + jax.lax.rem(within, block_k)
+        entry = g * group + t_idx
+        live = (col < kv_len) & (entry < sel)
+        s = jnp.where(live, s, NEG_INF)
+        ds = jnp.where(live, ds, 0.0)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
+        mu_new = alpha * mu + jnp.sum(p * ds, axis=-1, keepdims=True)
+        pb = p.astype(v.dtype)
+        pdsb = (p * ds).astype(v.dtype)
+        acco_scr[...] = acco_scr[...] * alpha + jax.lax.dot(
+            pb, v, preferred_element_type=jnp.float32)
+        acct_scr[...] = (acct_scr[...] * alpha
+                         + jax.lax.dot(pdsb, v,
+                                       preferred_element_type=jnp.float32)
+                         + jax.lax.dot(pb, dv,
+                                       preferred_element_type=jnp.float32))
+        return m_new, l_new, mu_new
+
+    m, l, mu = jax.lax.fori_loop(0, n_groups, body, (m0, l0, mu0))
+    l = jnp.maximum(l, 1e-20)
+    o = acco_scr[...] / l
+    o_ref[0] = o.astype(o_ref.dtype)
+    do_ref[0] = (acct_scr[...] / l - (mu / l) * o).astype(do_ref.dtype)
+
+
+def _pick_group_jvp(sel: int) -> int:
+    """Like flash_pallas._pick_group but capped at 4: the packed 4D stream
+    quadruples tile bytes, so smaller gather groups keep the NBUF ring
+    under the VMEM budget."""
+    best, best_waste = min(4, sel), None
+    for g in range(min(4, sel), 1, -1):
+        waste = _cdiv(sel, g) * g - sel
+        if best_waste is None or waste < best_waste:
+            best, best_waste = g, waste
+    return best
+
+
+def _flash_jvp_sparse_pallas(q, k, v, dq, dk, dv, lut, *, scale,
+                             block_q, block_k, interpret):
+    B, L, H, D = q.shape
+    Lk = k.shape[1]
+    nQ, nK = _cdiv(L, block_q), _cdiv(Lk, block_k)
+    Lp, Lkp = nQ * block_q, nK * block_k
+    sel = lut.shape[-1]
+    BH = B * H
+    NBUF = 2
+    GROUP = _pick_group_jvp(sel)
+    n_groups = _cdiv(sel, GROUP)
+
+    def fold(x, lp):
+        x = jnp.swapaxes(x, 1, 2).reshape(BH, x.shape[1], D)
+        return jnp.pad(x, ((0, 0), (0, lp - x.shape[1]), (0, 0)))
+
+    qf, dqf = fold(q, Lp), fold(dq, Lp)
+    kv4 = jnp.concatenate([fold(k, Lkp), fold(v, Lkp), fold(dk, Lkp),
+                           fold(dv, Lkp)], axis=-1)      # (BH, Lkp, 4D)
+
+    # LUT rows padded to the Q grid, entries to full groups (id 0, masked
+    # by entry index), lanes to the 128 tiling for aligned SMEM DMAs
+    lut_flat = lut.reshape(BH, lut.shape[-2], sel).astype(jnp.int32)
+    if lut_flat.shape[1] < nQ:
+        lut_flat = jnp.pad(lut_flat,
+                           ((0, 0), (0, nQ - lut_flat.shape[1]), (0, 0)))
+    entry_pad = n_groups * GROUP - sel
+    if entry_pad:
+        lut_flat = jnp.pad(lut_flat, ((0, 0), (0, 0), (0, entry_pad)))
+    sel_pad = _cdiv(n_groups * GROUP, 128) * 128
+    lut_flat = jnp.pad(lut_flat,
+                       ((0, 0), (0, 0), (0, sel_pad - n_groups * GROUP)))
+
+    q_spec = pl.BlockSpec((1, block_q, D), lambda bh, i: (bh, i, 0))
+    o, do = pl.pallas_call(
+        functools.partial(_sparse_jvp_kernel, scale=scale, block_k=block_k,
+                          sel=sel, kv_len=Lk),
+        grid=(BH, nQ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),           # LUT
+            q_spec,
+            q_spec,
+            pl.BlockSpec(memory_space=pl.ANY),           # packed K|V|dK|dV
+        ],
+        out_specs=[q_spec, q_spec],
+        out_shape=[jax.ShapeDtypeStruct((BH, Lp, D), q.dtype)] * 2,
+        scratch_shapes=[
+            pltpu.VMEM((NBUF, GROUP * block_k, 4 * D), kv4.dtype),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+            pltpu.SMEM((2, sel_pad), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((block_q, D), jnp.float32),       # acc o
+            pltpu.VMEM((block_q, D), jnp.float32),       # acc tangent
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(lut_flat, qf, dqf, kv4)
+    unfold = lambda x: jnp.swapaxes(
+        x.reshape(B, H, Lp, D)[:, :, :L], 1, 2).astype(q.dtype)
+    return unfold(o), unfold(do)
+
+
+# ---------------------------------------------------------------------------
+# Sparse (SLA) JVP: jnp LUT-gather fallback (non-TPU)
 # ---------------------------------------------------------------------------
 
 def _sparse_jvp_gather(q, k, v, dq, dk, dv, lut, *, scale, block_q, block_k):
@@ -294,6 +495,10 @@ def _make_sparse_jvp_fn(scale: float, block_q: int, block_k: int,
     def f_jvp(primals, tangents):
         q, k, v, lut = primals
         dq, dk, dv, _ = tangents
+        if _use_pallas_jvp(q) or interpret:
+            return _flash_jvp_sparse_pallas(
+                q, k, v, dq, dk, dv, lut, scale=scale, block_q=block_q,
+                block_k=block_k, interpret=interpret)
         return _sparse_jvp_gather(q, k, v, dq, dk, dv, lut, scale=scale,
                                   block_q=block_q, block_k=block_k)
 
