@@ -220,7 +220,13 @@ def _conv_fused_or_taps(p, x_in, t_stride: int, pre=None, gamma=None,
                              residual=residual,
                              pre=pre if pre else "none")
     if pre == "norm_silu":
-        x_in = jax.nn.silu(_channel_rms_norm(x_in, gamma, x_in.shape[-1]))
+        if (jax.default_backend() == "tpu"
+                and os.environ.get("TDX_VAE_FUSED_NORM", "1") == "1"):
+            from turbodiffusion_tpu.ops.conv_pallas import norm_silu_pallas
+            x_in = norm_silu_pallas(x_in, gamma.reshape(-1))
+        else:
+            x_in = jax.nn.silu(_channel_rms_norm(x_in, gamma,
+                                                 x_in.shape[-1]))
     out = _conv3d_cl(p, x_in, t_stride=t_stride)
     if residual is not None:
         out = out + residual

@@ -177,6 +177,37 @@ def conv3x3_fused(x, w, b, gamma=None, residual=None, pre: str = "none",
     return out[:, :, :H]
 
 
+def _norm_silu_kernel(x_ref, g_ref, o_ref, *, cdim: int):
+    o_ref[0] = _norm_silu(x_ref[0], g_ref[0].astype(jnp.float32), cdim
+                          ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def norm_silu_pallas(x, gamma, interpret: bool = False):
+    """One-pass channel-RMSNorm (F.normalize * sqrt(C) * gamma) + SiLU over
+    a channels-last (..., C) tensor. The XLA lowering of this chain inside
+    the VAE decode materializes fp32 intermediates across the conv
+    boundary (profiled ~0.5 s of the 480p decode vs a ~20 ms HBM-bandwidth
+    bound); this kernel guarantees bf16-in/bf16-out with fp32 math in VMEM.
+    """
+    shape = x.shape
+    C = shape[-1]
+    x2 = x.reshape(1, -1, C)
+    M = x2.shape[1]
+    TL = max(8, min(1024, (1_500_000 // C) // 8 * 8))
+    nM = _cdiv(M, TL)
+    out = pl.pallas_call(
+        functools.partial(_norm_silu_kernel, cdim=C),
+        grid=(nM,),
+        in_specs=[pl.BlockSpec((1, TL, C), lambda i: (0, i, 0)),
+                  pl.BlockSpec((1, C), lambda i: (0, 0))],
+        out_specs=pl.BlockSpec((1, TL, C), lambda i: (0, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((1, M, C), x.dtype),
+        interpret=interpret,
+    )(x2, gamma.reshape(1, C).astype(jnp.float32))
+    return out.reshape(shape)
+
+
 def conv3x3_fused_ref(x, w, b, gamma=None, residual=None, pre: str = "none"):
     """jnp reference with identical semantics."""
     B, T2, H, W, C = x.shape
