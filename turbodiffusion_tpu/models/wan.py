@@ -192,7 +192,11 @@ def _cross_attention(p, x, context, cfg: WanConfig, img_context=None,
             and img_context is None
             and not cfg.attention.jvp_mode
             and not cfg.attention.use_reference_impl
-            and _jax.default_backend() == "tpu" and Dh % 128 == 0):
+            and _jax.default_backend() == "tpu" and Dh % 128 == 0
+            # all heads resident per program: (H, 512, Dh) K+V tiles double
+            # -buffered exceed VMEM beyond H*Dh ~ 2048 (14B: 5120 falls
+            # back to the flash one-pass + unfold path)
+            and H * Dh <= 2048):
         # fused attention + per-token int8 O-feed: the unfold transpose and
         # the standalone quantize_rows pass both disappear
         from turbodiffusion_tpu.ops.flash_pallas import cross_attention_qout
