@@ -28,6 +28,7 @@ BASELINES = {
     # scale the 14B 720p/480p ratio onto the 1.3B number for a comparable bar
     "wan2.1_1.3b_480p_vae_decode": None,   # excluded from the reference E2E
     "scm_train_step_1.3b_480p_33f": None,
+    "scm_train_step_1.3b_480p_81f": None,
 }
 
 
@@ -158,45 +159,50 @@ def main():
               flush=True)
 
     # 5. sCM training step: teacher fwd (x2 CFG-free) + student JVP fwd +
-    # backward (the ROADMAP r2 0.87 s metric). Loss+grads only — a full
-    # fp32 Adam+EMA state for 1.3B (~17 GB) is a multi-chip configuration
-    # (the FSDP mesh path), not a single-chip one.
-    try:
-        from turbodiffusion_tpu.config import AttentionConfig, wan_config
-        from turbodiffusion_tpu.models.wan import init_wan_params
-        from turbodiffusion_tpu.training import distill as D
+    # backward. Loss+grads only — a full fp32 Adam+EMA state for 1.3B
+    # (~17 GB) is a multi-chip configuration (the FSDP mesh path), not a
+    # single-chip one. Primary geometry is the REAL 81-frame/32.7k-token
+    # training length (VERDICT r2 #6); falls back to 33f if it cannot run.
+    from turbodiffusion_tpu.config import AttentionConfig, wan_config
+    from turbodiffusion_tpu.models.wan import init_wan_params
+    from turbodiffusion_tpu.training import distill as D
 
-        # remat="full": the sagesla grad step needs 21.4 GB at mm_only
-        # (measured via AOT compile) — full recompute fits one 16 GB chip
-        cfg = wan_config("Wan2.1-1.3B",
-                         attention=AttentionConfig(backend="sagesla",
-                                                   sla_topk=0.1),
-                         remat="full")
-        teacher = init_wan_params(jax.random.PRNGKey(0), cfg)
-        dcfg = D.DistillConfig(loss_scale_dmd=0.0)   # pure sCM phase
-        batch_lat = jax.random.normal(jax.random.PRNGKey(1),
-                                      (1, 16, 9, 60, 104))
-        cond = jax.random.normal(jax.random.PRNGKey(2), (1, 512, 4096),
-                                 jnp.bfloat16)
+    # remat="full": the sagesla grad step needs 21.4 GB at mm_only
+    # (measured via AOT compile) — full recompute fits one 16 GB chip
+    cfg = wan_config("Wan2.1-1.3B",
+                     attention=AttentionConfig(backend="sagesla",
+                                               sla_topk=0.1),
+                     remat="full")
+    teacher = init_wan_params(jax.random.PRNGKey(0), cfg)
+    dcfg = D.DistillConfig(loss_scale_dmd=0.0)       # pure sCM phase
+    cond = jax.random.normal(jax.random.PRNGKey(2), (1, 512, 4096),
+                             jnp.bfloat16)
 
-        @jax.jit
-        def grad_step(student, teacher, x0, cond, key):
-            def loss_fn(sp):
-                return D.scm_loss(sp, teacher, cfg, dcfg, x0, cond, None,
-                                  key, 0)
-            loss, grads = jax.value_and_grad(loss_fn)(student)
-            gn = jax.tree.reduce(
-                lambda a, g: a + jnp.sum(g.astype(jnp.float32) ** 2),
-                grads, 0.0)
-            return loss, gn
+    @jax.jit
+    def grad_step(student, teacher, x0, cond, key):
+        def loss_fn(sp):
+            return D.scm_loss(sp, teacher, cfg, dcfg, x0, cond, None,
+                              key, 0)
+        loss, grads = jax.value_and_grad(loss_fn)(student)
+        gn = jax.tree.reduce(
+            lambda a, g: a + jnp.sum(g.astype(jnp.float32) ** 2),
+            grads, 0.0)
+        return loss, gn
 
-        args = (teacher, teacher, batch_lat, cond, jax.random.PRNGKey(3))
-        dt = _best(lambda *a: grad_step(*a), *args, n=2)
-        emit("scm_train_step_1.3b_480p_33f", dt)
-    except Exception as e:                                # noqa: BLE001
-        print(json.dumps({"metric": "scm_train_step_1.3b_480p_33f",
-                          "error": f"{type(e).__name__}: {e}"[:200]}),
-              flush=True)
+    for t_lat, name in ((21, "scm_train_step_1.3b_480p_81f"),
+                        (9, "scm_train_step_1.3b_480p_33f")):
+        try:
+            batch_lat = jax.random.normal(jax.random.PRNGKey(1),
+                                          (1, 16, t_lat, 60, 104))
+            args = (teacher, teacher, batch_lat, cond,
+                    jax.random.PRNGKey(3))
+            dt = _best(lambda *a: grad_step(*a), *args, n=2)
+            emit(name, dt)
+            break
+        except Exception as e:                            # noqa: BLE001
+            print(json.dumps({"metric": name,
+                              "error": f"{type(e).__name__}: {e}"[:200]}),
+                  flush=True)
 
 
 if __name__ == "__main__":
