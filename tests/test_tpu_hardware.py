@@ -128,3 +128,34 @@ def test_blockscale_sparse_kernel_on_tpu():
     rel = np.abs(np.asarray(out, np.float32) - np.asarray(ref)).max() / \
         np.abs(np.asarray(ref)).max()
     assert rel < 0.06, rel
+
+
+@requires_tpu
+def test_cross_attention_qout_on_chip():
+    """Fused cross-attention + int8 O-feed at real 1.3B geometry on the
+    chip (Mosaic compile + numerics vs the dense reference)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from turbodiffusion_tpu.ops.attention import dense_attention_ref
+    from turbodiffusion_tpu.ops.flash_pallas import cross_attention_qout
+
+    B, Lq, Lk, H, D = 1, 14040, 512, 12, 128
+    ks = jax.random.split(jax.random.PRNGKey(12), 3)
+    q = jax.random.normal(ks[0], (B, Lq, H, D), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (B, Lk, H, D), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (B, Lk, H, D), jnp.bfloat16)
+    i8, sc = jax.jit(cross_attention_qout)(q, k, v)
+
+    @jax.jit
+    def relerr(i8, sc, q, k, v):
+        deq = i8.astype(jnp.float32) * sc
+        ref = dense_attention_ref(q.astype(jnp.float32),
+                                  k.astype(jnp.float32),
+                                  v.astype(jnp.float32))
+        ref = ref.reshape(1, Lq, H * D)
+        return (jnp.max(jnp.abs(deq - ref)),
+                jnp.maximum(jnp.max(jnp.abs(ref)), 1e-6))
+
+    num, den = jax.device_get(relerr(i8, sc, q, k, v))
+    assert float(num) / float(den) < 0.02
