@@ -159,3 +159,61 @@ def test_cross_attention_qout_on_chip():
 
     num, den = jax.device_get(relerr(i8, sc, q, k, v))
     assert float(num) / float(den) < 0.02
+
+
+@requires_tpu
+def test_winograd_conv_on_chip():
+    """Winograd F(2,3) kernel at the decoder stage geometry that caught the
+    BO-divisor bug (O=192) — Mosaic compile + numerics vs direct conv."""
+    import jax
+    import jax.numpy as jnp
+    from turbodiffusion_tpu.ops.conv_pallas import conv3x3_fused_ref
+    from turbodiffusion_tpu.ops.winograd import wino_conv
+
+    ks = jax.random.split(jax.random.PRNGKey(13), 3)
+    x = jax.random.normal(ks[0], (1, 6, 120, 208, 96), jnp.bfloat16)
+    w = (jax.random.normal(ks[1], (3, 3, 3, 96, 192), jnp.float32) * 0.05
+         ).astype(jnp.bfloat16)
+    b = jax.random.normal(ks[2], (192,), jnp.bfloat16)
+
+    @jax.jit
+    def relerr(x, w, b):
+        got = wino_conv(x, w, b).astype(jnp.float32)
+        want = conv3x3_fused_ref(x, w, b).astype(jnp.float32)
+        return (jnp.max(jnp.abs(got - want)),
+                jnp.maximum(jnp.max(jnp.abs(want)), 1e-6))
+
+    num, den = jax.device_get(relerr(x, w, b))
+    assert float(num) / float(den) < 0.03
+
+
+@requires_tpu
+def test_sparse_jvp_pallas_on_chip():
+    """Pallas sparse JVP kernel vs the jnp LUT-gather at a real-scale
+    geometry (L=4096, H=4)."""
+    import jax
+    import jax.numpy as jnp
+    from turbodiffusion_tpu.ops.attention import get_block_map
+    from turbodiffusion_tpu.ops.flash_jvp_pallas import (
+        _flash_jvp_sparse_pallas, _sparse_jvp_gather)
+
+    bq = bk = 256
+    ks = jax.random.split(jax.random.PRNGKey(14), 6)
+    mk = lambda i: jax.random.normal(ks[i], (1, 4096, 4, 128), jnp.bfloat16)
+    q, k, v, dq, dk, dv = (mk(i) for i in range(6))
+    scale = 128 ** -0.5
+    _, lut, _ = get_block_map(q, k, 0.25, bq, bk)
+
+    @jax.jit
+    def both(q, k, v, dq, dk, dv, lut):
+        o1, do1 = _flash_jvp_sparse_pallas(q, k, v, dq, dk, dv, lut,
+                                           scale=scale, block_q=bq,
+                                           block_k=bk, interpret=False)
+        o2, do2 = _sparse_jvp_gather(q, k, v, dq, dk, dv, lut, scale=scale,
+                                     block_q=bq, block_k=bk)
+        err = lambda a, b: jnp.max(jnp.abs(a.astype(jnp.float32)
+                                           - b.astype(jnp.float32)))
+        return err(o1, o2), err(do1, do2)
+
+    e_o, e_do = jax.device_get(both(q, k, v, dq, dk, dv, lut))
+    assert float(e_o) < 0.05 and float(e_do) < 0.1, (e_o, e_do)
