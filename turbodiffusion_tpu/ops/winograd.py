@@ -12,24 +12,29 @@ TPU-first design notes:
     frame. Every Winograd position slice P[a][b] then becomes an OUTER-dim
     index (q) plus 0/1 row/col offsets — no sublane deinterleaves, which
     Mosaic has no fast path for.
+  * Inputs are OVERLAP-TILED once per conv by an XLA gather into
+    (4, BT2, nH, TH2+1, nW, TW2+1, C) — the +1 halo row/col is baked into
+    the array (~1.14x inflation), so the kernel does NO staging, NO halo
+    strips and NO VPU copies: every P[a][b] is a direct slice of the
+    input block. (The v1/v2 kernels staged main+halo tiles into a VMEM
+    scratch each step; that staging plus the in-kernel norm dominated the
+    runtime — measured 11-18% wino-GEMM efficiency.)
+  * Pre-op norm+SiLU (the ResidualBlock's RMSNorm, wan2pt1.py:180-215)
+    runs as its own bandwidth-bound Pallas pass on the quads
+    (conv_pallas.norm_silu_pallas) — norm(0)=0 keeps the zero border
+    exact, so normalizing after the pad/relayout is identical.
   * U never touches HBM: unfused Winograd inflates the input 4x (16 tile
     positions per 2x2 output tile) — materializing U for the 96ch 480x832
     stage would be 3+ GB per conv. Here U lives in a (M, kt*C) VMEM scratch
     per position.
-  * 2D tiles (TH2 x TW2 quad rows/cols) sized for M = TH2*TW2 ~ 1k GEMM
-    rows per program; the +1 halo row/column arrives as thin strip inputs
-    (row strip, col strip, corner) — input re-read stays (TH2+1)(TW2+1)/
-    (TH2*TW2), and no sliced copies happen outside the kernel.
   * The Winograd row index i is the INNERMOST grid dim with an fp32
     Y-accumulator scratch: one row position per program keeps the Mosaic
     VMEM stack small (the fully-unrolled 16-dot body measured 17-20M of
     stack against the 16M limit) and shrinks the resident weight block 4x.
   * The input transform is factored (row combos R[i] shared by the 4 col
-    positions) and runs in bf16 on the VPU; the inverse transform exploits
-    At's sparsity (9 of 16 positions per output sub-plane) accumulating
-    into 4 fp32 sub-plane values.
-  * Pre-op norm+SiLU (the ResidualBlock's RMSNorm, wan2pt1.py:180-215)
-    fuses into the tile staging; bias + residual ride the epilogue.
+    positions) in bf16 on the VPU; the inverse transform exploits At's
+    sparsity (9 of 16 positions per output sub-plane).
+  * Bias + residual ride the epilogue at i==3.
 
 Numerics: transforms are exact +/-1 sums done on bf16 inputs (VPU
 upcasts internally), the GEMM is bf16 x bf16 -> fp32, matching the direct
@@ -100,55 +105,34 @@ def _norm_silu(x, gamma, cdim: int):
     return y * jax.nn.sigmoid(y)
 
 
-def _kernel(*refs, kt: int, TH2: int, TW2: int, C: int, BO: int, pre: str,
+def _kernel(*refs, kt: int, TH2: int, TW2: int, C: int, BO: int,
             has_res: bool, out_dtype):
-    """Grid (o, t, h, w, i). i==0 stages the (optionally normed) quad tile
-    + halo strips into q_ref and zeroes the Y accumulator; each i runs the
-    4 column-position GEMMs of ONE Winograd row; i==3 adds bias/residual
-    and writes out."""
+    """Grid (o, t, h, w, i). tiles[dt]: one overlap-tiled quad block
+    (4, 1, 1, TH2+1, 1, TW2+1, C) per temporal tap — P[a][b] slices it
+    directly. Each i runs the 4 column-position GEMMs of ONE Winograd row
+    and accumulates the At-sparse inverse into y_ref; i==3 adds
+    bias/residual and writes out."""
     it = iter(refs)
-    mains, colhs, rowhs, corns = [], [], [], []
-    for _ in range(kt):
-        mains.append(next(it))               # (4,1,TH2,TW2,C)
-        colhs.append(next(it))               # (4,1,TH2,1,C)
-        rowhs.append(next(it))               # (4,1,1,TW2,C)
-        corns.append(next(it))               # (4,1,1,1,C)
+    tiles = [next(it) for _ in range(kt)]
     w_ref = next(it)                         # (4, kt*C, BO) — rows of i
     b_ref = next(it)                         # (1, BO)
-    g_ref = next(it) if pre == "norm_silu" else None
     res_ref = next(it) if has_res else None  # (4, 1, TH2, TW2, BO)
     o_ref = next(it)                         # (4, 1, TH2, TW2, BO)
     u_ref = next(it)                         # scratch (TH2*TW2, kt*C) bf16
-    q_ref = next(it)                         # scratch (kt,4,TH2+1,TW2+1,C)
     y_ref = next(it)                         # scratch (4, TH2*TW2, BO) f32
 
     i = pl.program_id(4)
     M = TH2 * TW2
 
     @pl.when(i == 0)
-    def _stage():
-        for dt in range(kt):
-            m = mains[dt][:, 0]                        # (4, TH2, TW2, C)
-            ch = colhs[dt][:, 0]                       # (4, TH2, 1, C)
-            rh = rowhs[dt][:, 0]                       # (4, 1, TW2, C)
-            cn = corns[dt][:, 0]                       # (4, 1, 1, C)
-            if pre == "norm_silu":
-                g = g_ref[0].astype(jnp.float32)
-                m = _norm_silu(m, g, C).astype(jnp.bfloat16)
-                ch = _norm_silu(ch, g, C).astype(jnp.bfloat16)
-                rh = _norm_silu(rh, g, C).astype(jnp.bfloat16)
-                cn = _norm_silu(cn, g, C).astype(jnp.bfloat16)
-            q_ref[dt, :, :TH2, :TW2] = m
-            q_ref[dt, :, :TH2, TW2:] = ch
-            q_ref[dt, :, TH2:, :TW2] = rh
-            q_ref[dt, :, TH2:, TW2:] = cn
+    def _zero():
         y_ref[...] = jnp.zeros_like(y_ref)
 
     def P(dt, a, b):
         # padded-pixel (2th+a, 2tw+b) = quad (2*(a%2)+(b%2), th+a//2,
         # tw+b//2)
-        return q_ref[dt, 2 * (a % 2) + (b % 2),
-                     a // 2:a // 2 + TH2, b // 2:b // 2 + TW2]
+        return tiles[dt][2 * (a % 2) + (b % 2), 0, 0,
+                         a // 2:a // 2 + TH2, 0, b // 2:b // 2 + TW2]
 
     for iv in range(4):
         @pl.when(i == iv)
@@ -210,9 +194,9 @@ def _tile_candidates(n: int, lo: int, hi: int):
 
 
 def _pick_tiles(kt: int, H2: int, W2: int, C: int, O: int):
-    """(TH2, TW2, BO) targeting M = TH2*TW2 ~ 1k GEMM rows under a ~6.5MB
+    """(TH2, TW2, BO) targeting M = TH2*TW2 ~ 1k GEMM rows under a ~8.5MB
     VMEM liveness model (16MB physical; Mosaic's measured stack ran
-    ~1.6-1.9x a naive model on this kernel, so aim low)."""
+    ~1.6x a naive model on the staged v2 kernel; v3 has no staging)."""
     if O <= 128:
         BO = O
     else:
@@ -223,15 +207,13 @@ def _pick_tiles(kt: int, H2: int, W2: int, C: int, O: int):
 
     def cost(TH2, TW2):
         M = TH2 * TW2
-        mains = kt * 4 * TH2 * TW2 * C * 2 * 2
-        strips = kt * 4 * (TH2 + TW2 + 1) * C * 2 * 2
-        q = kt * 4 * (TH2 + 1) * (TW2 + 1) * C * 2
+        tiles = kt * 4 * (TH2 + 1) * (TW2 + 1) * C * 2 * 2  # 2-buf
         rvals = 4 * kt * M * C * 2                      # R planes (one i)
         u = M * kt * C * 2
         wts = 2 * 4 * kt * C * BO * 2
         yv = (4 + 1) * M * BOp * 4
         outb = 2 * 4 * M * BOp * 2 * 2
-        return mains + strips + q + rvals + u + wts + yv + outb
+        return tiles + rvals + u + wts + yv + outb
 
     best = None
     for TW2 in _tile_candidates(W2, min(W2, 32), min(W2, 144)):
@@ -241,8 +223,8 @@ def _pick_tiles(kt: int, H2: int, W2: int, C: int, O: int):
             if cost(TH2, TW2) > 8_500_000:
                 continue
             M = TH2 * TW2
-            # prefer larger M; tie-break toward squarer tiles (fewer halo
-            # bytes)
+            # prefer larger M; tie-break toward squarer tiles (fewer
+            # overlap-halo bytes)
             key = (min(M, 2048), -abs(TH2 * 8 - TW2))
             if best is None or key > best[0]:
                 best = (key, TH2, TW2)
@@ -262,6 +244,8 @@ def wino_conv_q(xq, w, b, gamma=None, residual_q=None, pre: str = "none",
         (BT2 = B*(T_out + kt - 1));
     w:  (kt, 3, 3, C, O) tap-layout weights (transformed in here);
     residual_q: (4, B*T_out, H2, W2, O) added in the epilogue;
+    pre="norm_silu": channel-RMSNorm+SiLU applied to xq first (separate
+        bandwidth-bound pass; identical to pre-norm before the conv);
     tiles: optional (TH2, TW2) override;
     returns (4, B*T_out, H2, W2, O), H2 = H2p - 1.
     """
@@ -272,17 +256,27 @@ def wino_conv_q(xq, w, b, gamma=None, residual_q=None, pre: str = "none",
     H2, W2 = H2p - 1, W2p - 1
     out_dtype = out_dtype or xq.dtype
 
+    if pre == "norm_silu":
+        from turbodiffusion_tpu.ops.conv_pallas import norm_silu_pallas
+        xq = norm_silu_pallas(xq, gamma.reshape(-1), interpret=interpret)
+
     TH2, TW2, BO = _pick_tiles(kt, H2, W2, C, O)
     if tiles:
         TH2, TW2 = tiles
     nH = -(-H2 // TH2)
     nW = -(-W2 // TW2)
     nO = O // BO
-    # pad so the last halo strip (row nH*TH2, col nW*TW2) exists
+    # pad so the last overlap row/col (nH*TH2, nW*TW2) exists
     padH = max(0, nH * TH2 + 1 - H2p)
     padW = max(0, nW * TW2 + 1 - W2p)
     if padH or padW:
         xq = jnp.pad(xq, ((0, 0), (0, 0), (0, padH), (0, padW), (0, 0)))
+
+    # overlap-tile rows and cols (one XLA gather; ~(TH2+1)(TW2+1)/(TH2*TW2)
+    # inflation): (4, BT2, nH, TH2+1, nW, TW2+1, C)
+    ridx = jnp.arange(nH)[:, None] * TH2 + jnp.arange(TH2 + 1)[None, :]
+    cidx = jnp.arange(nW)[:, None] * TW2 + jnp.arange(TW2 + 1)[None, :]
+    xq_t = xq[:, :, ridx][:, :, :, :, cidx]
 
     wt = wino_weights(w).astype(jnp.bfloat16)
 
@@ -291,32 +285,14 @@ def wino_conv_q(xq, w, b, gamma=None, residual_q=None, pre: str = "none",
     args = []
     for dt in range(kt):
         in_specs.append(pl.BlockSpec(
-            (4, 1, TH2, TW2, C),
-            lambda o, t, h, w_, i, dt=dt: (0, t + dt, h, w_, 0)))
-        args.append(xq)
-        in_specs.append(pl.BlockSpec(
-            (4, 1, TH2, 1, C),
-            lambda o, t, h, w_, i, dt=dt: (0, t + dt, h, (w_ + 1) * TW2,
-                                           0)))
-        args.append(xq)
-        in_specs.append(pl.BlockSpec(
-            (4, 1, 1, TW2, C),
-            lambda o, t, h, w_, i, dt=dt: (0, t + dt, (h + 1) * TH2, w_,
-                                           0)))
-        args.append(xq)
-        in_specs.append(pl.BlockSpec(
-            (4, 1, 1, 1, C),
-            lambda o, t, h, w_, i, dt=dt: (0, t + dt, (h + 1) * TH2,
-                                           (w_ + 1) * TW2, 0)))
-        args.append(xq)
+            (4, 1, 1, TH2 + 1, 1, TW2 + 1, C),
+            lambda o, t, h, w_, i, dt=dt: (0, t + dt, h, 0, w_, 0, 0)))
+        args.append(xq_t)
     in_specs.append(pl.BlockSpec((4, kt * C, BO),
                                  lambda o, t, h, w_, i: (i, 0, o)))
     args.append(wt)
     in_specs.append(pl.BlockSpec((1, BO), lambda o, t, h, w_, i: (0, o)))
     args.append(b.reshape(1, O))
-    if pre == "norm_silu":
-        in_specs.append(pl.BlockSpec((1, C), lambda o, t, h, w_, i: (0, 0)))
-        args.append(gamma.reshape(1, C))
     has_res = residual_q is not None
     if has_res:
         in_specs.append(pl.BlockSpec(
@@ -327,7 +303,7 @@ def wino_conv_q(xq, w, b, gamma=None, residual_q=None, pre: str = "none",
 
     out = pl.pallas_call(
         functools.partial(_kernel, kt=kt, TH2=TH2, TW2=TW2, C=C, BO=BO,
-                          pre=pre, has_res=has_res, out_dtype=out_dtype),
+                          has_res=has_res, out_dtype=out_dtype),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
@@ -336,7 +312,6 @@ def wino_conv_q(xq, w, b, gamma=None, residual_q=None, pre: str = "none",
                                        out_dtype),
         scratch_shapes=[
             pltpu.VMEM((TH2 * TW2, kt * C), jnp.bfloat16),
-            pltpu.VMEM((kt, 4, TH2 + 1, TW2 + 1, C), jnp.bfloat16),
             pltpu.VMEM((4, TH2 * TW2, BO), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
