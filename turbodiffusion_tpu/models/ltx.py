@@ -193,6 +193,19 @@ def ltx_attention(p, x, heads: int, d_head: int, cfg: LTXConfig,
             and context is None:
         o = attn_dispatch(q, k, v, attn_cfg, proj_l=p.get("proj_l"))
     else:
+        import jax as _jax
+        if (context is not None and mask is None
+                and "w_int8" in p["to_out"]
+                and p["to_out"]["scale"].ndim == 1
+                and _jax.default_backend() == "tpu" and d_head % 128 == 0
+                and heads * d_head <= 2048):
+            # fused text-cross attention + per-token int8 to_out feed
+            # (same kernel as the Wan cross-attn, models/wan.py)
+            from turbodiffusion_tpu.ops.flash_pallas import (
+                cross_attention_qout)
+            from turbodiffusion_tpu.ops.quant import int8_linear_prequant
+            xq8, rs = cross_attention_qout(q, k, v)
+            return int8_linear_prequant(xq8, rs, p["to_out"])
         o = dense_attention(q, k, v)
     return linear_maybe_quant(p["to_out"], o.reshape(B, Lq, heads * d_head))
 
