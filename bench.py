@@ -115,9 +115,22 @@ def main():
     quant = os.environ.get("TDX_BENCH_QUANT", "1") == "1"
     fast = os.environ.get("TDX_BENCH_FAST", "0") == "1"
 
-    # 1. headline
-    best = _denoise_bench("Wan2.1-1.3B", GenerationConfig(), quant=quant)
-    emit("wan2.1_1.3b_480p_4step_denoise", best)
+    # 1. headline (one retry: the axon tunnel has transient windows where a
+    # fresh remote compile or run fails with INTERNAL — see ROADMAP)
+    last = None
+    for attempt in range(2):
+        try:
+            best = _denoise_bench("Wan2.1-1.3B", GenerationConfig(),
+                                  quant=quant)
+            emit("wan2.1_1.3b_480p_4step_denoise", best)
+            break
+        except Exception as e:                            # noqa: BLE001
+            last = e
+            time.sleep(30)
+    else:
+        print(json.dumps({"metric": "wan2.1_1.3b_480p_4step_denoise",
+                          "error": f"{type(last).__name__}: {last}"[:200]}),
+              flush=True)
     if fast:
         return
 
