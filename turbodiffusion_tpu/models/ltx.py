@@ -193,12 +193,15 @@ def ltx_attention(p, x, heads: int, d_head: int, cfg: LTXConfig,
             and context is None:
         o = attn_dispatch(q, k, v, attn_cfg, proj_l=p.get("proj_l"))
     else:
+        import os as _os
+
         import jax as _jax
         if (context is not None and mask is None
                 and "w_int8" in p["to_out"]
                 and p["to_out"]["scale"].ndim == 1
                 and _jax.default_backend() == "tpu" and d_head % 128 == 0
-                and heads * d_head <= 2048):
+                and heads * d_head <= 2048
+                and _os.environ.get("TDX_CROSS_QOUT", "1") == "1"):
             # fused text-cross attention + per-token int8 to_out feed
             # (same kernel as the Wan cross-attn, models/wan.py)
             from turbodiffusion_tpu.ops.flash_pallas import (

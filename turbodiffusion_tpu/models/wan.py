@@ -187,6 +187,8 @@ def _cross_attention(p, x, context, cfg: WanConfig, img_context=None,
     v = linear_maybe_quant(p["v"], context)
     k = k.reshape(B, -1, H, Dh)
     v = v.reshape(B, -1, H, Dh)
+    import os as _os
+
     import jax as _jax
     if ("w_int8" in p["o"] and p["o"]["scale"].ndim == 1
             and img_context is None
@@ -196,7 +198,8 @@ def _cross_attention(p, x, context, cfg: WanConfig, img_context=None,
             # all heads resident per program: (H, 512, Dh) K+V tiles double
             # -buffered exceed VMEM beyond H*Dh ~ 2048 (14B: 5120 falls
             # back to the flash one-pass + unfold path)
-            and H * Dh <= 2048):
+            and H * Dh <= 2048
+            and _os.environ.get("TDX_CROSS_QOUT", "1") == "1"):
         # fused attention + per-token int8 O-feed: the unfold transpose and
         # the standalone quantize_rows pass both disappear
         from turbodiffusion_tpu.ops.flash_pallas import cross_attention_qout
