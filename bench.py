@@ -126,9 +126,10 @@ def main():
             break
         except Exception as e:                            # noqa: BLE001
             last = e
-            # second attempt runs without the newest fused kernel (fresh
-            # closure => full retrace picks the env var up)
+            # second attempt runs without the newest fast paths (fresh
+            # closure => full retrace picks the env vars up)
             os.environ["TDX_CROSS_QOUT"] = "0"
+            os.environ["TDX_HP_TL512"] = "0"
             time.sleep(30)
     else:
         print(json.dumps({"metric": "wan2.1_1.3b_480p_4step_denoise",

@@ -166,8 +166,11 @@ def head_planes(x, weight=None, cos_full=None, sin_full=None, *,
     # buffering) under the 16MB scoped-vmem limit at HD=1536; calls that
     # emit fewer outputs (the K/V passes: no int8+scale, or no pool) take
     # 512-row tiles — half the grid steps at ~9.5MB modeled liveness
+    # (TDX_HP_TL512=0 reverts; bench.py's retry flips it off)
+    import os as _os
     heavy = quant and bf16_out
-    TL = min(256 if (heavy or HD > 2048) else 512, Lp)
+    tl512 = _os.environ.get("TDX_HP_TL512", "1") == "1"
+    TL = min(512 if (tl512 and not heavy and HD <= 2048) else 256, Lp)
     assert Lp % TL == 0, (Lp, TL)
     if pool:
         assert TL % pool == 0, (TL, pool)
