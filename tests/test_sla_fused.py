@@ -68,6 +68,35 @@ def test_head_planes_fold_only(data):
         np.asarray(ref, jnp.float32))
 
 
+def test_head_planes_light_pass_tl512(data):
+    """K/V-style light passes (not quant+bf16 together) take 512-row tiles
+    (TDX_HP_TL512 default-on); equivalence vs the reference at TL=512."""
+    x, w, cosF, sinF = data
+    pad_to = 1024
+    cosP = jnp.pad(cosF, ((0, pad_to - L), (0, 0)))
+    sinP = jnp.pad(sinF, ((0, pad_to - L), (0, 0)))
+    ref = head_planes_ref(x, w, cosF, sinF, num_heads=H, eps=1e-5, pool=128)
+    # bf16+pool, no quant (the K pass shape)
+    out = head_planes(x, w, cosP, sinP, num_heads=H, eps=1e-5, pool=128,
+                      quant=False, bf16_out=True, pad_to=pad_to,
+                      interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out["bf16"][:, :, :L], jnp.float32),
+        np.asarray(ref["bf16"], jnp.float32), atol=2e-2)
+    np.testing.assert_allclose(
+        np.asarray(out["pooled"], jnp.float32),
+        np.asarray(ref["pooled"], jnp.float32), atol=2e-2)
+    # quant-only (no bf16 plane) — also a light pass
+    out_q = head_planes(x, w, cosP, sinP, num_heads=H, eps=1e-5,
+                        quant=True, bf16_out=False, pad_to=pad_to,
+                        interpret=True)
+    assert np.abs(np.asarray(out_q["i8"][:, :, :L], np.int32)
+                  - np.asarray(ref["i8"], np.int32)).max() <= 2
+    np.testing.assert_allclose(
+        np.asarray(out_q["scale"][:, :, :L]), np.asarray(ref["scale"]),
+        rtol=2e-2)
+
+
 def test_block_map_k_mean(data):
     """k_mean recovered from pooled blocks == full-tensor mean."""
     x, w, cosF, sinF = data
