@@ -58,14 +58,12 @@ def main():
     args = (teacher, batch["latents"], batch["t5_text_embeddings"],
             jax.random.PRNGKey(3))
     t0 = time.perf_counter()
-    jax.block_until_ready(tangent_only(*args))
+    jax.device_get(tangent_only(*args))  # fetch-synced: block_until_ready
+    # is a no-op over the axon tunnel (utils/timing.py)
     print(f"tangent compile+run: {time.perf_counter()-t0:.1f} s")
-    ts = []
-    for i in range(3):
-        t0 = time.perf_counter()
-        jax.block_until_ready(tangent_only(*args))
-        ts.append(time.perf_counter() - t0)
-    print(f"student JVP tangent fwd @ {frames}f: {min(ts):.3f} s")
+    from turbodiffusion_tpu.utils.timing import measure_best
+    dt = measure_best(tangent_only, *args, n=3)
+    print(f"student JVP tangent fwd @ {frames}f: {dt:.3f} s")
 
     # 2. full sCM step (teacher fwd x2 + student jvp + backward + adam)
     opt = make_optimizer(lr=1e-5)
@@ -73,14 +71,14 @@ def main():
     step = D.make_distill_steps(cfg, dcfg, opt, with_fake=False)
     t0 = time.perf_counter()
     state, m = step(state, batch, jax.random.PRNGKey(4))
-    jax.block_until_ready(state.student)
     print(f"sCM step compile+run: {time.perf_counter()-t0:.1f} s "
-          f"loss={float(m['loss']):.4f}")
+          f"loss={float(jax.device_get(m['loss'])):.4f}")
     ts = []
     for i in range(3):
         t0 = time.perf_counter()
         state, m = step(state, batch, jax.random.PRNGKey(5 + i))
-        jax.block_until_ready(state.student)
+        # fetch the scalar loss: the only reliable sync over the tunnel
+        float(jax.device_get(m["loss"]))
         ts.append(time.perf_counter() - t0)
     print(f"full sCM train step @ {frames}f: {min(ts):.3f} s/step")
 
