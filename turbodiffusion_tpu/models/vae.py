@@ -410,9 +410,11 @@ def vae_decode(params, z, chunk: Optional[int] = None):
     outside the scan."""
     if chunk is None:
         chunk = _auto_chunk(z.shape[2] - 1, z.shape[3], z.shape[4])
-    # TDX_CONV_PALLAS is read at trace time deep in _causal_conv3d; thread
-    # it into the jit key so toggling it isn't masked by the trace cache.
-    flag = os.environ.get("TDX_CONV_PALLAS", "1")
+    # These env flags are read at trace time deep in _causal_conv3d; thread
+    # them into the jit key so toggling one isn't masked by the trace cache.
+    flag = "|".join(os.environ.get(k, d) for k, d in
+                    (("TDX_CONV_PALLAS", "0"), ("TDX_CONV_WINO", "0"),
+                     ("TDX_VAE_FUSED_NORM", "1")))
     return _vae_decode(params, z, chunk, _pallas_flag=flag)
 
 
