@@ -109,11 +109,36 @@ def _denoise_bench(model, gen, quant=True, fuse_qkv=True, linear=True,
                  params, noise, n=n)
 
 
+def _probe_backend(timeout_s: float = 600.0) -> bool:
+    """The axon tunnel has outage windows where backend init or a tiny
+    program hangs indefinitely (ROADMAP). Probe it under a watchdog so a
+    dead tunnel yields an explicit error record instead of a silent hang
+    into the driver's timeout."""
+    import threading
+    ok = []
+
+    def probe():
+        x = jnp.ones((128, 128))
+        float(jax.device_get(jnp.sum(x @ x)))
+        ok.append(True)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(ok)
+
+
 def main():
     from turbodiffusion_tpu.config import GenerationConfig
 
     quant = os.environ.get("TDX_BENCH_QUANT", "1") == "1"
     fast = os.environ.get("TDX_BENCH_FAST", "0") == "1"
+
+    if not _probe_backend():
+        print(json.dumps({"metric": "wan2.1_1.3b_480p_4step_denoise",
+                          "error": "TPU backend unreachable (tunnel probe "
+                                   "timed out after 600s)"}), flush=True)
+        os._exit(0)
 
     # 1. headline (one retry: the axon tunnel has transient windows where a
     # fresh remote compile or run fails with INTERNAL — see ROADMAP)
