@@ -220,20 +220,30 @@ def main():
     cond = jax.random.normal(jax.random.PRNGKey(2), (1, 512, 4096),
                              jnp.bfloat16)
 
-    @jax.jit
-    def grad_step(student, teacher, x0, cond, key):
-        def loss_fn(sp):
-            return D.scm_loss(sp, teacher, cfg, dcfg, x0, cond, None,
-                              key, 0)
-        loss, grads = jax.value_and_grad(loss_fn)(student)
-        gn = jax.tree.reduce(
-            lambda a, g: a + jnp.sum(g.astype(jnp.float32) ** 2),
-            grads, 0.0)
-        return loss, gn
+    def make_grad_step():
+        # fresh closure per attempt => full retrace picks up env switches
+        @jax.jit
+        def grad_step(student, teacher, x0, cond, key):
+            def loss_fn(sp):
+                return D.scm_loss(sp, teacher, cfg, dcfg, x0, cond, None,
+                                  key, 0)
+            loss, grads = jax.value_and_grad(loss_fn)(student)
+            gn = jax.tree.reduce(
+                lambda a, g: a + jnp.sum(g.astype(jnp.float32) ** 2),
+                grads, 0.0)
+            return loss, gn
+        return grad_step
 
-    for t_lat, name in ((21, "scm_train_step_1.3b_480p_81f"),
-                        (9, "scm_train_step_1.3b_480p_33f")):
+    for t_lat, name, pre in (
+            (21, "scm_train_step_1.3b_480p_81f", None),
+            (9, "scm_train_step_1.3b_480p_33f", None),
+            # last resort: the pre-round-3 lax.map gather tangent
+            (9, "scm_train_step_1.3b_480p_33f",
+             ("TDX_JVP_PALLAS_SPARSE", "0"))):
         try:
+            if pre is not None:
+                os.environ[pre[0]] = pre[1]
+            grad_step = make_grad_step()
             batch_lat = jax.random.normal(jax.random.PRNGKey(1),
                                           (1, 16, t_lat, 60, 104))
             args = (teacher, teacher, batch_lat, cond,

@@ -495,7 +495,12 @@ def _make_sparse_jvp_fn(scale: float, block_q: int, block_k: int,
     def f_jvp(primals, tangents):
         q, k, v, lut = primals
         dq, dk, dv, _ = tangents
-        if _use_pallas_jvp(q) or interpret:
+        # TDX_JVP_PALLAS_SPARSE=0: kill switch back to the lax.map gather
+        # tangent (the pre-round-3 path) until the packed-gather kernel is
+        # validated on-chip at the 32.7k-token training geometry
+        import os as _os
+        use_kernel = _os.environ.get("TDX_JVP_PALLAS_SPARSE", "1") == "1"
+        if (_use_pallas_jvp(q) and use_kernel) or interpret:
             return _flash_jvp_sparse_pallas(
                 q, k, v, dq, dk, dv, lut, scale=scale, block_q=block_q,
                 block_k=block_k, interpret=interpret)
