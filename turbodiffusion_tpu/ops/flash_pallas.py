@@ -671,7 +671,7 @@ def _flash_fwd_impl(q, k, v, lut, *, scale, block_q, block_k, int8_qk,
         )(qf, kf, vf)
     else:
         sel = lut.shape[-1]
-        NBUF = 4             # K/V tile ring depth
+        NBUF = _nbuf()       # K/V tile ring depth
         GROUP = _pick_group(sel)
         n_groups = _cdiv(sel, GROUP)
         # Pad LUT entries to a full last group. In the int8 path padded
@@ -821,7 +821,7 @@ def sparse_attention_i8_planes(qi, qs, ki, ks, vi, vs, lut, *,
     scale = float(D ** -0.5) if scale is None else float(scale)
     nQ, nK = Lp // block_q, Lkp // block_k
     sel = lut.shape[-1]
-    NBUF = 4
+    NBUF = _nbuf()
     GROUP = _pick_group(sel)
     n_groups = _cdiv(sel, GROUP)
 
@@ -966,10 +966,19 @@ def sparse_attention_i8_planes(qi, qs, ki, ks, vi, vs, lut, *,
 # Fused Pallas backward (sparse)
 # ---------------------------------------------------------------------------
 
+def _nbuf(default: int = 4) -> int:
+    """K/V gather ring depth; TDX_SPARSE_NBUF overrides for on-chip sweeps."""
+    import os
+    return int(os.environ.get("TDX_SPARSE_NBUF", default))
+
+
 def _pick_group(sel: int, lo: int = 4, hi: int = 8) -> int:
     """Gather GROUP blocks per MXU pass. Padded entries re-fetch real blocks
     (masked but not free), so pick the GROUP in [lo, hi] that minimizes
     ceil(sel/G)*G - sel, preferring larger tiles on ties."""
+    import os
+    lo = int(os.environ.get("TDX_SPARSE_GROUP_LO", lo))
+    hi = int(os.environ.get("TDX_SPARSE_GROUP_HI", hi))
     group = min(hi, sel)
     best_waste = _cdiv(sel, group) * group - sel
     for g in range(hi, lo - 1, -1):
@@ -1259,7 +1268,7 @@ def _flash_bwd_fused(q, k, v, lut, g, *, scale, block_q, block_k, interpret):
 
     qf, kf, vf, gf = fold(q, Lp), fold(k, Lkp), fold(v, Lkp), fold(g, Lp)
     BH = B * H
-    NBUF = 4
+    NBUF = _nbuf()
 
     # --- dq pass (same LUT padding as the forward) ---
     GROUP = _pick_group(sel)
