@@ -7,6 +7,7 @@ and inter-iteration overlap). Wall time of the fetched scalar / n is the
 per-op latency.
 """
 
+import sys
 import time
 
 import jax
@@ -23,9 +24,15 @@ DIM, FFN = 1536, 8960
 N_ITERS = 8
 
 
+FILTER = sys.argv[1] if len(sys.argv) > 1 else ""
+
+
 def bench(fn, *args, name="", n=N_ITERS):
     """fn(*args) -> array. args[0] must be float; a tiny c-dependent
-    perturbation is added to it each iteration."""
+    perturbation is added to it each iteration. argv[1] substring-filters
+    which benches run (e.g. `profile_components.py sparse`)."""
+    if FILTER and FILTER not in name:
+        return None
 
     def run(*a):
         def body(i, c):
