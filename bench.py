@@ -6,19 +6,19 @@ W8A8). Subsequent lines: VAE decode, 14B single-chip, 720p, sCM train step.
 
 vs_baseline = ours_seconds / reference_seconds (1.0 = parity, lower=faster).
 Set TDX_BENCH_FAST=1 to print only the headline metric.
+
+Each metric runs in its own subprocess: the axon tunnel's compile server has
+transient HTTP-500 windows, and after one INTERNAL error the in-process
+backend is poisoned (every later program returns FailedPrecondition — seen
+in the r3 dry run). Process isolation gives every metric and every retry a
+fresh client.
 """
 
 import json
 import os
+import subprocess
+import sys
 import time
-
-import jax
-import jax.numpy as jnp
-
-# persistent compilation cache: repeat runs skip the multi-minute XLA compile
-os.makedirs("/root/.jax_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 BASELINES = {
     # reference numbers (BASELINE.md; RTX 5090)
@@ -41,6 +41,18 @@ def emit(metric, seconds, **extra):
     print(json.dumps(rec), flush=True)
 
 
+# --------------------------------------------------------------------------
+# child-side metric implementations (each runs in a fresh process)
+# --------------------------------------------------------------------------
+
+def _jax_setup():
+    os.makedirs("/root/.jax_cache", exist_ok=True)
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return jax
+
+
 def _best(fn, *args, n=3):
     # fetch-synced: jax.block_until_ready is a no-op over the axon tunnel
     # (utils/timing.py docstring has the evidence)
@@ -50,6 +62,8 @@ def _best(fn, *args, n=3):
 
 def _denoise_bench(model, gen, quant=True, fuse_qkv=True, linear=True,
                    n=3):
+    jax = _jax_setup()
+    import jax.numpy as jnp
     from turbodiffusion_tpu.config import (
         AttentionConfig, wan_config)
     from turbodiffusion_tpu.models.wan import init_wan_params, wan_forward
@@ -109,102 +123,58 @@ def _denoise_bench(model, gen, quant=True, fuse_qkv=True, linear=True,
                  params, noise, n=n)
 
 
-def _probe_backend(timeout_s: float = 600.0) -> bool:
-    """The axon tunnel has outage windows where backend init or a tiny
-    program hangs indefinitely (ROADMAP). Probe it under a watchdog so a
-    dead tunnel yields an explicit error record instead of a silent hang
-    into the driver's timeout."""
-    import threading
-    ok = []
-
-    def probe():
-        x = jnp.ones((128, 128))
-        float(jax.device_get(jnp.sum(x @ x)))
-        ok.append(True)
-
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    return bool(ok)
+def _run_probe():
+    """Tiny program proving the tunnel compiles+runs. Exit 0 on success."""
+    jax = _jax_setup()
+    import jax.numpy as jnp
+    x = jnp.ones((128, 128))
+    float(jax.device_get(jnp.sum(x @ x)))
+    print(json.dumps({"metric": "probe", "ok": True}), flush=True)
 
 
-def main():
+def _run_headline():
     from turbodiffusion_tpu.config import GenerationConfig
-
     quant = os.environ.get("TDX_BENCH_QUANT", "1") == "1"
-    fast = os.environ.get("TDX_BENCH_FAST", "0") == "1"
+    best = _denoise_bench("Wan2.1-1.3B", GenerationConfig(), quant=quant)
+    emit("wan2.1_1.3b_480p_4step_denoise", best)
 
-    if not _probe_backend():
-        print(json.dumps({"metric": "wan2.1_1.3b_480p_4step_denoise",
-                          "error": "TPU backend unreachable (tunnel probe "
-                                   "timed out after 600s)"}), flush=True)
-        os._exit(0)
 
-    # 1. headline (one retry: the axon tunnel has transient windows where a
-    # fresh remote compile or run fails with INTERNAL — see ROADMAP)
-    last = None
-    for attempt in range(2):
-        try:
-            best = _denoise_bench("Wan2.1-1.3B", GenerationConfig(),
-                                  quant=quant)
-            emit("wan2.1_1.3b_480p_4step_denoise", best)
-            break
-        except Exception as e:                            # noqa: BLE001
-            last = e
-            # second attempt runs without the newest fast paths (fresh
-            # closure => full retrace picks the env vars up)
-            os.environ["TDX_CROSS_QOUT"] = "0"
-            os.environ["TDX_HP_TL512"] = "0"
-            time.sleep(30)
-    else:
-        print(json.dumps({"metric": "wan2.1_1.3b_480p_4step_denoise",
-                          "error": f"{type(last).__name__}: {last}"[:200]}),
-              flush=True)
-    if fast:
-        return
+def _run_vae_decode():
+    jax = _jax_setup()
+    import jax.numpy as jnp
+    from turbodiffusion_tpu.models.vae import init_vae_params, vae_decode
+    vp = init_vae_params(jax.random.PRNGKey(0))
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 21, 60, 104),
+                          jnp.float32)
+    ck = os.environ.get("TDX_BENCH_VAE_CHUNK")
+    chunk = int(ck) if ck else None        # None = auto
+    dt = _best(lambda p, z: vae_decode(p, z, chunk=chunk), vp, z)
+    emit("wan2.1_1.3b_480p_vae_decode", dt)
 
-    # 2. VAE decode 480p/81f (the reference excludes decode from E2E, but it
-    # dominates real user latency — VERDICT r2 #2)
-    try:
-        from turbodiffusion_tpu.models.vae import init_vae_params, vae_decode
-        vp = init_vae_params(jax.random.PRNGKey(0))
-        z = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 21, 60, 104),
-                              jnp.float32)
-        ck = os.environ.get("TDX_BENCH_VAE_CHUNK")
-        chunk = int(ck) if ck else None        # None = auto
-        dt = _best(lambda p, z: vae_decode(p, z, chunk=chunk), vp, z)
-        emit("wan2.1_1.3b_480p_vae_decode", dt)
-    except Exception as e:                                # noqa: BLE001
-        print(json.dumps({"metric": "wan2.1_1.3b_480p_vae_decode",
-                          "error": f"{type(e).__name__}: {e}"[:200]}),
-              flush=True)
 
-    # 3. 14B single-chip, 480p/81 frames (the flagship config)
-    try:
-        dt = _denoise_bench("Wan2.1-14B", GenerationConfig(),
-                            quant=True, fuse_qkv=False, linear=False, n=1)
-        emit("wan2.1_14b_480p_4step_denoise", dt, frames=81)
-    except Exception as e:                                # noqa: BLE001
-        print(json.dumps({"metric": "wan2.1_14b_480p_4step_denoise",
-                          "error": f"{type(e).__name__}: {e}"[:200]}),
-              flush=True)
+def _run_14b():
+    from turbodiffusion_tpu.config import GenerationConfig
+    dt = _denoise_bench("Wan2.1-14B", GenerationConfig(),
+                        quant=True, fuse_qkv=False, linear=False, n=1)
+    emit("wan2.1_14b_480p_4step_denoise", dt, frames=81)
 
-    # 4. 1.3B 720p
-    try:
-        dt = _denoise_bench(
-            "Wan2.1-1.3B", GenerationConfig(resolution="720p"), quant=quant,
-            n=2)
-        emit("wan2.1_1.3b_720p_4step_denoise", dt)
-    except Exception as e:                                # noqa: BLE001
-        print(json.dumps({"metric": "wan2.1_1.3b_720p_4step_denoise",
-                          "error": f"{type(e).__name__}: {e}"[:200]}),
-              flush=True)
 
-    # 5. sCM training step: teacher fwd (x2 CFG-free) + student JVP fwd +
-    # backward. Loss+grads only — a full fp32 Adam+EMA state for 1.3B
-    # (~17 GB) is a multi-chip configuration (the FSDP mesh path), not a
-    # single-chip one. Primary geometry is the REAL 81-frame/32.7k-token
-    # training length (VERDICT r2 #6); falls back to 33f if it cannot run.
+def _run_720p():
+    from turbodiffusion_tpu.config import GenerationConfig
+    quant = os.environ.get("TDX_BENCH_QUANT", "1") == "1"
+    dt = _denoise_bench(
+        "Wan2.1-1.3B", GenerationConfig(resolution="720p"), quant=quant,
+        n=2)
+    emit("wan2.1_1.3b_720p_4step_denoise", dt)
+
+
+def _run_scm(frames: int):
+    """sCM training step: teacher fwd (x2 CFG-free) + student JVP fwd +
+    backward. Loss+grads only — a full fp32 Adam+EMA state for 1.3B
+    (~17 GB) is a multi-chip configuration (the FSDP mesh path), not a
+    single-chip one."""
+    jax = _jax_setup()
+    import jax.numpy as jnp
     from turbodiffusion_tpu.config import AttentionConfig, wan_config
     from turbodiffusion_tpu.models.wan import init_wan_params
     from turbodiffusion_tpu.training import distill as D
@@ -220,42 +190,127 @@ def main():
     cond = jax.random.normal(jax.random.PRNGKey(2), (1, 512, 4096),
                              jnp.bfloat16)
 
-    def make_grad_step():
-        # fresh closure per attempt => full retrace picks up env switches
-        @jax.jit
-        def grad_step(student, teacher, x0, cond, key):
-            def loss_fn(sp):
-                return D.scm_loss(sp, teacher, cfg, dcfg, x0, cond, None,
-                                  key, 0)
-            loss, grads = jax.value_and_grad(loss_fn)(student)
-            gn = jax.tree.reduce(
-                lambda a, g: a + jnp.sum(g.astype(jnp.float32) ** 2),
-                grads, 0.0)
-            return loss, gn
-        return grad_step
+    @jax.jit
+    def grad_step(student, teacher, x0, cond, key):
+        def loss_fn(sp):
+            return D.scm_loss(sp, teacher, cfg, dcfg, x0, cond, None,
+                              key, 0)
+        loss, grads = jax.value_and_grad(loss_fn)(student)
+        gn = jax.tree.reduce(
+            lambda a, g: a + jnp.sum(g.astype(jnp.float32) ** 2),
+            grads, 0.0)
+        return loss, gn
 
-    for t_lat, name, pre in (
-            (21, "scm_train_step_1.3b_480p_81f", None),
-            (9, "scm_train_step_1.3b_480p_33f", None),
-            # last resort: the pre-round-3 lax.map gather tangent
-            (9, "scm_train_step_1.3b_480p_33f",
-             ("TDX_JVP_PALLAS_SPARSE", "0"))):
-        try:
-            if pre is not None:
-                os.environ[pre[0]] = pre[1]
-            grad_step = make_grad_step()
-            batch_lat = jax.random.normal(jax.random.PRNGKey(1),
-                                          (1, 16, t_lat, 60, 104))
-            args = (teacher, teacher, batch_lat, cond,
-                    jax.random.PRNGKey(3))
-            dt = _best(lambda *a: grad_step(*a), *args, n=2)
-            emit(name, dt)
+    t_lat = {81: 21, 33: 9}[frames]
+    batch_lat = jax.random.normal(jax.random.PRNGKey(1),
+                                  (1, 16, t_lat, 60, 104))
+    args = (teacher, teacher, batch_lat, cond, jax.random.PRNGKey(3))
+    dt = _best(lambda *a: grad_step(*a), *args, n=2)
+    emit(f"scm_train_step_1.3b_480p_{frames}f", dt)
+
+
+CHILD_FNS = {
+    "probe": (_run_probe, 660),
+    "headline": (_run_headline, 2400),
+    "vae_decode": (_run_vae_decode, 2400),
+    "14b": (_run_14b, 3000),
+    "720p": (_run_720p, 2400),
+    "scm81": (lambda: _run_scm(81), 3600),
+    "scm33": (lambda: _run_scm(33), 2400),
+    "scm33_nopallas": (lambda: _run_scm(33), 2400),
+}
+
+METRIC_OF = {
+    "headline": "wan2.1_1.3b_480p_4step_denoise",
+    "vae_decode": "wan2.1_1.3b_480p_vae_decode",
+    "14b": "wan2.1_14b_480p_4step_denoise",
+    "720p": "wan2.1_1.3b_720p_4step_denoise",
+    "scm81": "scm_train_step_1.3b_480p_81f",
+    "scm33": "scm_train_step_1.3b_480p_33f",
+    "scm33_nopallas": "scm_train_step_1.3b_480p_33f",
+}
+
+
+# --------------------------------------------------------------------------
+# parent-side orchestration
+# --------------------------------------------------------------------------
+
+def _run_child(name: str, extra_env=None) -> tuple[bool, str]:
+    """Run one metric in a fresh process. Returns (ok, error_text).
+    ok means the child exited 0 AND printed at least one success record."""
+    _, tmo = CHILD_FNS[name]
+    env = dict(os.environ)
+    if extra_env:
+        env.update(extra_env)
+    try:
+        r = subprocess.run(
+            [sys.executable, "-u", os.path.abspath(__file__), "--one", name],
+            capture_output=True, text=True, timeout=tmo, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+    except subprocess.TimeoutExpired:
+        return False, f"timeout after {tmo}s"
+    got = False
+    for line in r.stdout.splitlines():
+        if line.startswith("{"):
+            print(line, flush=True)
+            got = True
+    if r.returncode == 0 and got:
+        return True, ""
+    tail = (r.stderr or r.stdout or "").strip().splitlines()
+    err = tail[-1] if tail else f"exit code {r.returncode}"
+    return False, err[:200]
+
+
+def _emit_error(name: str, err: str):
+    print(json.dumps({"metric": METRIC_OF[name], "error": err}), flush=True)
+
+
+def main():
+    fast = os.environ.get("TDX_BENCH_FAST", "0") == "1"
+
+    ok, err = _run_child("probe")
+    if not ok:
+        # second chance after a pause — tunnel outage windows pass (ROADMAP)
+        time.sleep(60)
+        ok, err = _run_child("probe")
+    if not ok:
+        print(json.dumps({"metric": "wan2.1_1.3b_480p_4step_denoise",
+                          "error": f"TPU backend unreachable: {err}"}),
+              flush=True)
+        return
+
+    # headline first; on failure retry once with the newest fast paths off
+    # (fresh process => clean backend + full retrace)
+    ok, err = _run_child("headline")
+    if not ok:
+        time.sleep(30)
+        ok, err = _run_child(
+            "headline", {"TDX_CROSS_QOUT": "0", "TDX_HP_TL512": "0"})
+    if not ok:
+        _emit_error("headline", err)
+    if fast:
+        return
+
+    for name in ("vae_decode", "14b", "720p"):
+        ok, err = _run_child(name)
+        if not ok:
+            time.sleep(30)
+            ok, err = _run_child(name)
+        if not ok:
+            _emit_error(name, err)
+
+    # sCM train step: real 81f geometry first (VERDICT r2 #6), 33f fallback,
+    # then the pre-round-3 lax.map gather tangent as a last resort
+    for name, extra in (("scm81", None), ("scm33", None),
+                        ("scm33_nopallas", {"TDX_JVP_PALLAS_SPARSE": "0"})):
+        ok, err = _run_child(name, extra)
+        if ok:
             break
-        except Exception as e:                            # noqa: BLE001
-            print(json.dumps({"metric": name,
-                              "error": f"{type(e).__name__}: {e}"[:200]}),
-                  flush=True)
+        _emit_error(name, err)
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--one":
+        CHILD_FNS[sys.argv[2]][0]()
+    else:
+        main()
