@@ -16,11 +16,12 @@ from turbodiffusion_tpu.ops.flash_pallas import flash_attention
 from turbodiffusion_tpu.config import AttentionConfig
 
 
-def _qkv(B=1, L=300, H=2, D=64, key=0, dtype=jnp.float32):
+def _qkv(B=1, L=300, H=2, D=64, key=0, dtype=jnp.float32, Lk=None):
     ks = jax.random.split(jax.random.PRNGKey(key), 3)
+    Lk = L if Lk is None else Lk
     q = jax.random.normal(ks[0], (B, L, H, D), dtype)
-    k = jax.random.normal(ks[1], (B, L, H, D), dtype)
-    v = jax.random.normal(ks[2], (B, L, H, D), dtype)
+    k = jax.random.normal(ks[1], (B, Lk, H, D), dtype)
+    v = jax.random.normal(ks[2], (B, Lk, H, D), dtype)
     return q, k, v
 
 
@@ -335,3 +336,58 @@ def test_cross_attention_qout_matches_ref():
     ref = np.asarray(ref, np.float32).reshape(B, Lq, H * D)
     err = np.abs(deq - ref).max() / max(np.abs(ref).max(), 1e-6)
     assert err < 0.02, err
+
+
+def test_fused_sparse_bwd_wide_inverse_lut():
+    """nQ >= 128 makes the dk/dv inverse-LUT row 1+nQ > 128 lanes — the
+    layout where a (1, 1, W) row DMA is Mosaic-illegal and _lut_ring switches
+    to the 4D (BH, nK, W/128, 128) staging (hit at the real 81-frame training
+    geometry: nQ=128 -> 129 -> 256-lane rows)."""
+    from turbodiffusion_tpu.ops.flash_pallas import (
+        _attention_bwd_sparse, _flash_bwd_fused)
+
+    B, H, D, bq = 1, 1, 16, 64
+    nQ, nK, sel = 129, 4, 2                 # inverse rows: W = 130 -> 4D
+    L, Lk = nQ * bq, nK * bq
+    q, k, v = _qkv(B=B, L=L, H=H, D=D, key=11, Lk=Lk)
+    g = jax.random.normal(jax.random.PRNGKey(12), q.shape, q.dtype)
+    lut = jax.random.randint(jax.random.PRNGKey(13), (B, H, nQ, sel), 0, nK,
+                             dtype=jnp.int32)
+    scale = D ** -0.5
+
+    ref = _attention_bwd_sparse(q, k, v, lut, g, scale, bq, bq)
+    got = _flash_bwd_fused(q, k, v, lut, g, scale=scale, block_q=bq,
+                           block_k=bq, interpret=True)
+    for a, b, name in zip(got, ref, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3, err_msg=name)
+
+
+def test_sparse_fwd_wide_lut():
+    """sel > ~121 pads the forward LUT row past one 128-lane tile: the
+    forward gather and dq kernels must stage it through the 4D layout."""
+    from turbodiffusion_tpu.ops.attention import sparse_attention_ref
+    from turbodiffusion_tpu.ops.flash_pallas import (
+        _attention_bwd_sparse, _flash_bwd_fused, flash_attention)
+
+    B, H, D, bk = 1, 1, 16, 64
+    nK, sel = 130, 129                       # GROUP=5 -> 130 -> 256 lanes
+    L, Lk = 64, nK * bk
+    q, k, v = _qkv(B=B, L=L, H=H, D=D, key=21, Lk=Lk)
+    lut = jnp.argsort(
+        jax.random.normal(jax.random.PRNGKey(22), (B, H, 1, nK)), axis=-1
+    )[..., :sel].astype(jnp.int32)
+    out = flash_attention(q, k, v, lut=lut, block_q=64, block_k=bk,
+                          interpret=True)
+    ref = sparse_attention_ref(q, k, v, lut, 64, bk)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+    g = jax.random.normal(jax.random.PRNGKey(23), q.shape, q.dtype)
+    scale = D ** -0.5
+    refb = _attention_bwd_sparse(q, k, v, lut, g, scale, 64, bk)
+    gotb = _flash_bwd_fused(q, k, v, lut, g, scale=scale, block_q=64,
+                            block_k=bk, interpret=True)
+    for a, b, name in zip(gotb, refb, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3, err_msg=name)

@@ -40,6 +40,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from turbodiffusion_tpu.ops.flash_pallas import _lut_ring, _row_get
+
 NEG_INF = -1e30
 
 
@@ -230,7 +232,7 @@ def _sparse_jvp_kernel(lut_hbm, q_ref, dq_ref, kv4_hbm, o_ref, do_ref,
     def kv_dmas(slot, g):
         ds = []
         for t in range(group):
-            kb = lut_ref[g * group + t]
+            kb = _row_get(lut_ref, g * group + t)
             start = pl.multiple_of(kb * block_k, block_k)
             ds.append(pltpu.make_async_copy(
                 kv4_hbm.at[bh, pl.ds(start, block_k)],
@@ -281,7 +283,8 @@ def _sparse_jvp_kernel(lut_hbm, q_ref, dq_ref, kv4_hbm, o_ref, do_ref,
         # mask: real KV columns AND real (non-padded) LUT entries
         within = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         t_idx = within // block_k
-        col_parts = [lut_ref[g * group + t] * block_k for t in range(group)]
+        col_parts = [_row_get(lut_ref, g * group + t) * block_k
+                     for t in range(group)]
         kb_row = jnp.concatenate(
             [jnp.full((1, block_k), cp, jnp.int32) for cp in col_parts],
             axis=1)
@@ -358,6 +361,7 @@ def _flash_jvp_sparse_pallas(q, k, v, dq, dk, dv, lut, *, scale,
     sel_pad = _cdiv(n_groups * GROUP, 128) * 128
     lut_flat = jnp.pad(lut_flat,
                        ((0, 0), (0, 0), (0, sel_pad - n_groups * GROUP)))
+    lut_flat, lut_row = _lut_ring(lut_flat)
 
     q_spec = pl.BlockSpec((1, block_q, D), lambda bh, i: (bh, i, 0))
     o, do = pl.pallas_call(
@@ -375,7 +379,7 @@ def _flash_jvp_sparse_pallas(q, k, v, dq, dk, dv, lut, *, scale,
         scratch_shapes=[
             pltpu.VMEM((NBUF, GROUP * block_k, 4 * D), kv4.dtype),
             pltpu.SemaphoreType.DMA((NBUF,)),
-            pltpu.SMEM((2, sel_pad), jnp.int32),
+            pltpu.SMEM((2, *lut_row), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((block_q, D), jnp.float32),       # acc o
             pltpu.VMEM((block_q, D), jnp.float32),       # acc tangent

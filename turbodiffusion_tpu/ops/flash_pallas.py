@@ -211,6 +211,31 @@ def cross_attention_qout(q, k, v, scale: Optional[float] = None,
     return i8[:, :Lq], sc[:, :Lq]
 
 
+def _lut_ring(lut3):
+    """Ring-DMA layout for per-row LUT fetches. lut3: (BH, R, W) int32, W a
+    multiple of 128. Mosaic only accepts a (1, 1, W) slice of a tiled memref
+    when W fits one (8, 128) lane tile — at W > 128 the dim-1 slice of 1 row
+    trips 'must be aligned to tiling (8)' (hit at the 81f training geometry,
+    where the dk/dv inverse LUT is 1+nQ = 129 -> 256 lanes). Wider rows are
+    reshaped to (BH, R, W/128, 128) so the per-row DMA slices leading dims
+    only. Returns (array, smem_row_shape); scratch is SMEM((2, *row_shape))
+    and entries are read back via _row_get."""
+    BH, R, W = lut3.shape
+    if W <= 128:
+        return lut3, (W,)
+    assert W % 128 == 0, W
+    return lut3.reshape(BH, R, W // 128, 128), (W // 128, 128)
+
+
+def _row_get(ref, idx):
+    """Entry idx of one LUT row staged by _lut_ring: (W,) or (W/128, 128)."""
+    if len(ref.shape) == 1:
+        return ref[idx]
+    if isinstance(idx, int):
+        return ref[idx // 128, idx % 128]
+    return ref[idx // 128, jax.lax.rem(idx, 128)]
+
+
 def _sparse_attn_kernel(lut_hbm, q_ref, k_hbm, v_hbm, o_ref,
                         kbuf, vbuf, sems, lut2_ref, lut_sem, acc_scr,
                         *, scale: float, block_k: int, kv_len: int,
@@ -261,7 +286,7 @@ def _sparse_attn_kernel(lut_hbm, q_ref, k_hbm, v_hbm, o_ref,
         LUT entries re-fetch a valid block; their scores are masked out."""
         ds = []
         for t in range(group):
-            kb = lut_ref[g * group + t]
+            kb = _row_get(lut_ref, g * group + t)
             start = pl.multiple_of(kb * block_k, block_k)
             ds.append(pltpu.make_async_copy(
                 k_hbm.at[bh, pl.ds(start, block_k)],
@@ -321,7 +346,8 @@ def _sparse_attn_kernel(lut_hbm, q_ref, k_hbm, v_hbm, o_ref,
         # Mask: real KV range AND real (non-padded) LUT entries.
         within = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         t_idx = within // block_k                        # sub-block index
-        col_parts = [lut_ref[g * group + t] * block_k for t in range(group)]
+        col_parts = [_row_get(lut_ref, g * group + t) * block_k
+                     for t in range(group)]
         kb_row = jnp.concatenate(
             [jnp.full((1, block_k), cp, jnp.int32) for cp in col_parts],
             axis=1)                                      # (1, tile_k)
@@ -395,7 +421,7 @@ def _sparse_attn_kernel_i8(lut_hbm, q_ref, qs_ref, kv_hbm, scb_hbm, vch_ref,
     def kv_dmas(slot, g):
         ds = []
         for t in range(group):
-            kb = lut_ref[g * group + t]
+            kb = _row_get(lut_ref, g * group + t)
             start = pl.multiple_of(kb * block_k, block_k)
             ds.append(pltpu.make_async_copy(
                 kv_hbm.at[bh, pl.ds(start, block_k)],
@@ -505,7 +531,7 @@ def _sparse_attn_kernel_i8b(lut_hbm, q_ref, qs_ref, kv_hbm, ksc_ref,
     def kv_dmas(slot, g):
         ds = []
         for t in range(group):
-            kb = lut_ref[g * group + t]
+            kb = _row_get(lut_ref, g * group + t)
             start = pl.multiple_of(kb * block_k, block_k)
             ds.append(pltpu.make_async_copy(
                 kv_hbm.at[bh, pl.ds(start, block_k)],
@@ -546,7 +572,7 @@ def _sparse_attn_kernel_i8b(lut_hbm, q_ref, qs_ref, kv_hbm, ksc_ref,
         # per-sub-block K scale (SMEM read by block id) + validity
         sc_parts, col_parts = [], []
         for t in range(group):
-            kb = lut_ref[g * group + t]
+            kb = _row_get(lut_ref, g * group + t)
             live = (g * group + t < sel).astype(jnp.float32)
             sc_parts.append(jnp.full((1, block_k),
                                      ksc_ref[0, 0, kb] * live, jnp.float32))
@@ -688,11 +714,12 @@ def _flash_fwd_impl(q, k, v, lut, *, scale, block_q, block_k, int8_qk,
         sel_pad = _cdiv(n_groups * GROUP, 128) * 128
         lut_flat = jnp.pad(
             lut_flat, ((0, 0), (0, 0), (0, sel_pad - n_groups * GROUP)))
+        lut_flat, lut_row = _lut_ring(lut_flat)
 
         out_shape = jax.ShapeDtypeStruct((B * H, Lp, Dp), q.dtype)
         common_scratch = [
             pltpu.SemaphoreType.DMA((2, NBUF)),
-            pltpu.SMEM((2, sel_pad), jnp.int32),       # LUT row ring
+            pltpu.SMEM((2, *lut_row), jnp.int32),      # LUT row ring
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((block_q, Dp), jnp.float32),    # acc
         ]
@@ -849,6 +876,7 @@ def sparse_attention_i8_planes(qi, qs, ki, ks, vi, vs, lut, *,
     sel_pad = _cdiv(n_groups * GROUP, 128) * 128
     lut_flat = jnp.pad(lut_flat,
                        ((0, 0), (0, 0), (0, sel_pad - n_groups * GROUP)))
+    lut_flat, lut_row = _lut_ring(lut_flat)
 
     if blockscale:
         kvi = kvi_packed
@@ -883,7 +911,7 @@ def sparse_attention_i8_planes(qi, qs, ki, ks, vi, vs, lut, *,
             scratch_shapes=[
                 pltpu.VMEM((NBUF, GROUP * block_k, 2 * D), jnp.int8),
                 pltpu.SemaphoreType.DMA((2, NBUF)),
-                pltpu.SMEM((2, sel_pad), jnp.int32),            # LUT ring
+                pltpu.SMEM((2, *lut_row), jnp.int32),           # LUT ring
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.VMEM((block_q, D), jnp.float32),          # acc
             ],
@@ -951,7 +979,7 @@ def sparse_attention_i8_planes(qi, qs, ki, ks, vi, vs, lut, *,
             pltpu.VMEM((NBUF, GROUP * block_k, 2 * D), jnp.int8),
             pltpu.VMEM((NBUF, 8, GROUP * block_k), jnp.float32),
             pltpu.SemaphoreType.DMA((2, NBUF)),
-            pltpu.SMEM((2, sel_pad), jnp.int32),            # LUT row ring
+            pltpu.SMEM((2, *lut_row), jnp.int32),           # LUT row ring
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((block_q, D), jnp.float32),          # acc
         ],
@@ -1041,7 +1069,7 @@ def _sparse_bwd_dq_kernel(lut_hbm, q_ref, do_ref, kv_hbm,
     def kv_dmas(slot, g):
         ds = []
         for t in range(group):
-            kb = lut_ref[g * group + t]
+            kb = _row_get(lut_ref, g * group + t)
             start = pl.multiple_of(kb * block_k, block_k)
             ds.append(pltpu.make_async_copy(
                 kv_hbm.at[bh, pl.ds(start, block_k)],
@@ -1081,7 +1109,8 @@ def _sparse_bwd_dq_kernel(lut_hbm, q_ref, do_ref, kv_hbm,
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         within = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        col_parts = [lut_ref[g * group + t] * block_k for t in range(group)]
+        col_parts = [_row_get(lut_ref, g * group + t) * block_k
+                     for t in range(group)]
         kb_row = jnp.concatenate(
             [jnp.full((1, block_k), cp, jnp.int32) for cp in col_parts],
             axis=1)
@@ -1155,13 +1184,13 @@ def _sparse_bwd_dkv_kernel(inv_hbm, k_ref, v_ref, qdo_hbm, ld_ref,
                           row_sem.at[slot_now]).wait()
     row_ref = row2_ref.at[slot_now]
 
-    count = row_ref[0]
+    count = _row_get(row_ref, 0)
     n_groups = jax.lax.div(count + (group - 1), group)
 
     def q_dmas(slot, g):
         ds = []
         for t in range(group):
-            qb = row_ref[1 + g * group + t]
+            qb = _row_get(row_ref, 1 + g * group + t)
             start = pl.multiple_of(qb * block_q, block_q)
             ds.append(pltpu.make_async_copy(
                 qdo_hbm.at[bh, pl.ds(start, block_q)],
@@ -1198,7 +1227,7 @@ def _sparse_bwd_dkv_kernel(inv_hbm, k_ref, v_ref, qdo_hbm, ld_ref,
 
         lse_parts, dl_parts, col_parts = [], [], []
         for t in range(group):
-            qb = row_ref[1 + g * group + t]
+            qb = _row_get(row_ref, 1 + g * group + t)
             start = pl.multiple_of(qb * block_q, block_q)
             lse_parts.append(ld_ref[0, 0:1, pl.ds(start, block_q)])
             dl_parts.append(ld_ref[0, 1:2, pl.ds(start, block_q)])
@@ -1282,6 +1311,7 @@ def _flash_bwd_fused(q, k, v, lut, g, *, scale, block_q, block_k, interpret):
     sel_pad = _cdiv(n_groups * GROUP, 128) * 128
     lut_pad = jnp.pad(
         lut_pad, ((0, 0), (0, 0), (0, sel_pad - n_groups * GROUP)))
+    lut_pad, lut_row = _lut_ring(lut_pad)
 
     q_spec = pl.BlockSpec((1, block_q, Dp), lambda bh, i: (bh, i, 0))
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
@@ -1307,7 +1337,7 @@ def _flash_bwd_fused(q, k, v, lut, g, *, scale, block_q, block_k, interpret):
         scratch_shapes=[
             pltpu.VMEM((NBUF, GROUP * block_k, 2 * Dp), k.dtype),
             pltpu.SemaphoreType.DMA((2, NBUF)),
-            pltpu.SMEM((2, sel_pad), jnp.int32),
+            pltpu.SMEM((2, *lut_row), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((block_q, Dp), jnp.float32),
             pltpu.VMEM((block_q, Dp), jnp.float32),
@@ -1321,6 +1351,7 @@ def _flash_bwd_fused(q, k, v, lut, g, *, scale, block_q, block_k, interpret):
     inv = _inverse_lut(lut_f, nK)                          # (BH, nK, 1+nQ)
     Wp = _cdiv(inv.shape[-1], 128) * 128
     inv = jnp.pad(inv, ((0, 0), (0, 0), (0, Wp - inv.shape[-1])))
+    inv, inv_row = _lut_ring(inv)
     ld_t = jnp.swapaxes(ld, 1, 2)                          # (BH, 2, Lp)
 
     k_spec = pl.BlockSpec((1, block_k, Dp), lambda bh, j: (bh, j, 0))
@@ -1346,7 +1377,7 @@ def _flash_bwd_fused(q, k, v, lut, g, *, scale, block_q, block_k, interpret):
         scratch_shapes=[
             pltpu.VMEM((NBUF, GROUPQ * block_q, 2 * Dp), q.dtype),
             pltpu.SemaphoreType.DMA((2, NBUF)),
-            pltpu.SMEM((2, Wp), jnp.int32),
+            pltpu.SMEM((2, *inv_row), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((block_k, Dp), jnp.float32),
             pltpu.VMEM((block_k, Dp), jnp.float32),
