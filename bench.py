@@ -124,12 +124,14 @@ def _denoise_bench(model, gen, quant=True, fuse_qkv=True, linear=True,
 
 
 def _run_probe():
-    """Tiny program proving the tunnel compiles+runs. Exit 0 on success."""
+    """Tiny program proving the tunnel compiles+runs. Exit 0 on success.
+    Prints a non-metric sentinel (not JSON) so the parent's record
+    forwarding never emits a record without 'value'/'error' fields."""
     jax = _jax_setup()
     import jax.numpy as jnp
     x = jnp.ones((128, 128))
     float(jax.device_get(jnp.sum(x @ x)))
-    print(json.dumps({"metric": "probe", "ok": True}), flush=True)
+    print("PROBE_OK", flush=True)
 
 
 def _run_headline():
@@ -217,7 +219,11 @@ CHILD_FNS = {
     "720p": (_run_720p, 2400),
     "scm81": (lambda: _run_scm(81), 3600),
     "scm33": (lambda: _run_scm(33), 2400),
-    "scm33_nopallas": (lambda: _run_scm(33), 2400),
+    # set the knob in the child itself so `bench.py --one scm33_nopallas`
+    # benches the right path even without the parent's extra_env
+    "scm33_nopallas": (
+        lambda: (os.environ.__setitem__("TDX_JVP_PALLAS_SPARSE", "0"),
+                 _run_scm(33))[-1], 2400),
 }
 
 METRIC_OF = {
@@ -237,9 +243,15 @@ METRIC_OF = {
 
 def _run_child(name: str, extra_env=None) -> tuple[bool, str]:
     """Run one metric in a fresh process. Returns (ok, error_text).
-    ok means the child exited 0 AND printed at least one success record."""
+    ok means the child exited 0 AND printed a success record (or, for the
+    probe, its sentinel). On failure the FULL child stderr is written to
+    /tmp/bench_<name>.stderr and the returned error text carries the
+    traceback tail — a failing metric must leave a diagnosable artifact
+    (the r3 14B entry died with a stripped 200-char message)."""
     _, tmo = CHILD_FNS[name]
     env = dict(os.environ)
+    # full tracebacks in the child: diagnosability beats brevity here
+    env.setdefault("JAX_TRACEBACK_FILTERING", "off")
     if extra_env:
         env.update(extra_env)
     try:
@@ -249,16 +261,31 @@ def _run_child(name: str, extra_env=None) -> tuple[bool, str]:
             cwd=os.path.dirname(os.path.abspath(__file__)))
     except subprocess.TimeoutExpired:
         return False, f"timeout after {tmo}s"
-    got = False
+    got = "PROBE_OK" in r.stdout if name == "probe" else False
     for line in r.stdout.splitlines():
         if line.startswith("{"):
             print(line, flush=True)
             got = True
     if r.returncode == 0 and got:
         return True, ""
+    log = f"/tmp/bench_{name}.stderr"
+    try:
+        with open(log, "w") as f:
+            f.write(f"--- exit code {r.returncode} ---\n")
+            f.write(r.stderr or "")
+            f.write("\n--- stdout ---\n")
+            f.write(r.stdout or "")
+    except OSError:
+        log = "<unwritable>"
     tail = (r.stderr or r.stdout or "").strip().splitlines()
-    err = tail[-1] if tail else f"exit code {r.returncode}"
-    return False, err[:200]
+    # keep the last exception block: from the final 'Traceback' marker on,
+    # bounded at 1500 chars so the JSON record stays readable
+    text = "\n".join(tail)
+    idx = text.rfind("Traceback (most recent call last)")
+    err = text[idx:] if idx >= 0 else "\n".join(tail[-12:])
+    if not err:
+        err = f"exit code {r.returncode}"
+    return False, f"{err[-1500:]} [full log: {log}]"
 
 
 def _emit_error(name: str, err: str):

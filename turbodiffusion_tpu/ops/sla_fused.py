@@ -331,12 +331,16 @@ def _subquant_pack_kernel(k_ref, mu_ref, v_ref, kv_ref, sc_ref, *,
                                  jnp.float32))
         rows = jnp.concatenate(segs, axis=0)                    # (TL, 1)
         kv_ref[0, :, :D] = jnp.round(xf * (1.0 / rows)).astype(jnp.int8)
-        sc_ref[0] = rows
+        # row-major (TL//128, 128) scale write: a (BH, Lp, 1) f32 out_shape
+        # gets its unit lane dim padded to 128 by the custom-call layout —
+        # 640 MB of pure padding at the 14B geometry (the r4 HBM-OOM
+        # culprit); this relayout keeps the buffer at true size
+        sc_ref[0] = rows.reshape(rows.shape[0] // 128, 128)
     else:
         amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
         scale = jnp.maximum(amax, 1e-8) * (1.0 / INT8_MAX)
         kv_ref[0, :, :D] = jnp.round(xf * (1.0 / scale)).astype(jnp.int8)
-        sc_ref[0] = scale
+        sc_ref[0] = scale.reshape(scale.shape[0] // 128, 128)
     kv_ref[0, :, D:] = v_ref[0]
 
 
@@ -373,9 +377,9 @@ def subquant_pack_kv(k_planes, mu, v_i8, block_k: int,
                   pl.BlockSpec((1, 1, D), lambda bh, i: (bh, 0, 0)),
                   pl.BlockSpec((1, TL, D), lambda bh, i: (bh, i, 0))],
         out_specs=(pl.BlockSpec((1, TL, 2 * D), lambda bh, i: (bh, i, 0)),
-                   pl.BlockSpec((1, TL, 1), lambda bh, i: (bh, i, 0))),
+                   pl.BlockSpec((1, TL // 128, 128), lambda bh, i: (bh, i, 0))),
         out_shape=(jax.ShapeDtypeStruct((BH, Lp + block_k, 2 * D), jnp.int8),
-                   jax.ShapeDtypeStruct((BH, Lp, 1), jnp.float32)),
+                   jax.ShapeDtypeStruct((BH, Lp // 128, 128), jnp.float32)),
         interpret=interpret,
     )(k2, m, v2)
     if block_scales:
@@ -429,11 +433,28 @@ def _unfold_quant_kernel(x_ref, i8_ref, sc_ref, *, H: int, Dh: int):
 
 
 def _unfold_scale_kernel(x_ref, sc_ref, *, H: int):
-    m = jnp.zeros((x_ref.shape[2], 1), jnp.float32)
-    for h in range(H):
-        yf = x_ref[0, h].astype(jnp.float32)
-        m = jnp.maximum(m, jnp.max(jnp.abs(yf), axis=-1, keepdims=True))
-    sc_ref[0] = jnp.maximum(m, 1e-8) * (1.0 / INT8_MAX)
+    """Per-token amax over heads, one head per grid step. The out block
+    index is constant in h, so the (TL,1) accumulator stays VMEM-resident
+    across the inner h loop; the scale is finalized at the last head.
+
+    Why not one unrolled loop over H (the narrow-path kernel's shape): at
+    H=40 Mosaic allocates the f32 cast of every head on the kernel stack —
+    an 18.6M scoped-vmem frame vs the 16M limit (the r3 14B bench crash)."""
+    h = pl.program_id(2)
+    yf = x_ref[0, 0].astype(jnp.float32)
+    m = jnp.max(jnp.abs(yf), axis=-1, keepdims=True)
+
+    @pl.when(h == 0)
+    def _init():
+        sc_ref[0] = m
+
+    @pl.when(h > 0)
+    def _acc():
+        sc_ref[0] = jnp.maximum(sc_ref[0], m)
+
+    @pl.when(h == H - 1)
+    def _finalize():
+        sc_ref[0] = jnp.maximum(sc_ref[0], 1e-8) * (1.0 / INT8_MAX)
 
 
 def _unfold_write_kernel(x_ref, sc_ref, i8_ref):
@@ -456,10 +477,10 @@ def unfold_quant(planes, out_len: int, interpret: bool = False):
         assert Lp % TL == 0
         sc = pl.pallas_call(
             functools.partial(_unfold_scale_kernel, H=H),
-            grid=(B, Lp // TL),
-            in_specs=[pl.BlockSpec((1, H, TL, Dh),
-                                   lambda b, i: (b, 0, i, 0))],
-            out_specs=pl.BlockSpec((1, TL, 1), lambda b, i: (b, i, 0)),
+            grid=(B, Lp // TL, H),
+            in_specs=[pl.BlockSpec((1, 1, TL, Dh),
+                                   lambda b, i, h: (b, h, i, 0))],
+            out_specs=pl.BlockSpec((1, TL, 1), lambda b, i, h: (b, i, 0)),
             out_shape=jax.ShapeDtypeStruct((B, Lp, 1), jnp.float32),
             interpret=interpret,
         )(planes)

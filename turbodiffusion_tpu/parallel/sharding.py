@@ -129,3 +129,20 @@ def shard_params(params, mesh: Mesh):
         sh = NamedSharding(mesh, param_sharding_spec(leaf.shape, mesh))
         return jax.device_put(leaf, sh)
     return jax.tree.map(place, params)
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    """Place a data batch on the mesh: leading (batch) dim on the 'data'
+    axis when divisible, replicated otherwise (≡ the reference's per-rank
+    dataloader split, rcm/datasets/webdataset.py split_by_node)."""
+    ndata = mesh.shape.get("data", 1)
+
+    def place(v):
+        if not hasattr(v, "ndim") or v.ndim == 0:
+            return v
+        spec = P()
+        if ndata > 1 and v.shape[0] % ndata == 0:
+            spec = P("data", *([None] * (v.ndim - 1)))
+        return jax.device_put(v, NamedSharding(mesh, spec))
+
+    return {k: place(v) for k, v in batch.items()}

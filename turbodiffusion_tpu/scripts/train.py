@@ -66,6 +66,16 @@ def main():
     p.add_argument("--sla_topk", type=float, default=0.1)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--metrics_jsonl", default=None)
+    p.add_argument("--mesh", type=str, default=None, metavar="DP,FSDP,CP",
+                   help="Multi-chip mesh, e.g. 1,4,2: params+optimizer "
+                        "FSDP-sharded, batch data-sharded, sequence "
+                        "context-sharded (reference default: torchrun "
+                        "FSDP+CP, scripts/train.py:50-82)")
+    p.add_argument("--remat", default=None,
+                   choices=["none", "mm_only", "block_wise", "full"],
+                   help="activation checkpointing (SAC analog, "
+                        "selective_activation_checkpoint.py:26-59); "
+                        "defaults to mm_only when --mesh shards params")
     args = p.parse_args(argv)
 
     import jax
@@ -79,6 +89,18 @@ def main():
         TrainState, make_optimizer, make_train_step)
     from turbodiffusion_tpu.training.trainer import (
         IterSpeed, JsonlLogger, Trainer, TrainerConfig)
+
+    from turbodiffusion_tpu.inference.wan2_1_t2v import parse_mesh
+    from turbodiffusion_tpu.parallel.sharding import (
+        make_mesh, shard_batch, shard_params, use_mesh)
+
+    mesh_cfg = parse_mesh(args.mesh)
+    mesh = make_mesh(mesh_cfg) if mesh_cfg else None
+    remat = args.remat
+    if remat is None:
+        # FSDP re-gathers params per block anyway; mm_only recompute is the
+        # reference's training default (configs/experiments/*:sac_config)
+        remat = "mm_only" if (mesh_cfg and mesh_cfg.fsdp > 1) else "none"
 
     shards = sorted(glob.glob(args.data))
     loader = WebDatasetLoader(shards, args.batch_size,
@@ -96,45 +118,78 @@ def main():
     model_ovr = [o[len("model."):] for o in overrides
                  if o.startswith("model.")]
 
-    if args.experiment == "sla":
-        cfg = make_wan_cfg(args.model, attention_type="sla",
-                           sla_topk=args.sla_topk)
-        cfg_teacher = make_wan_cfg(args.model, attention_type="original")
-        cfg = apply_dotted_overrides(cfg, model_ovr)
-        cfg_teacher = apply_dotted_overrides(cfg_teacher, model_ovr)
-        # student initializes FROM the teacher weights; the teacher stays
-        # frozen with dense attention (t2v_model_sla.py). Keep the linear
-        # branch even with zero-init proj_l — it must receive gradients.
-        params, _ = load_dit(args.teacher_ckpt, cfg, args.seed)
-        teacher, _ = load_dit(args.teacher_ckpt, cfg_teacher, args.seed)
-        state = TrainState(params, optimizer.init(params),
-                           jnp.zeros((), jnp.int32))
-        from turbodiffusion_tpu.training.train_step import make_sla_train_step
-        step = make_sla_train_step(cfg, cfg_teacher, teacher, optimizer)
-    else:
-        cfg = make_wan_cfg(args.model, attention_type="original")
-        cfg = apply_dotted_overrides(cfg, model_ovr)
-        dcfg = D.DistillConfig()
-        dcfg = apply_dotted_overrides(
-            dcfg, [o[len("distill."):] for o in overrides
-                   if o.startswith("distill.")])
-        teacher, _ = load_dit(args.teacher_ckpt, cfg, args.seed)
-        state = D.create_distill_state(teacher, optimizer, dcfg)
-        step = D.make_distill_steps(cfg, dcfg, optimizer)
+    import contextlib
+    ctx = use_mesh(mesh) if mesh is not None else contextlib.nullcontext()
+    with ctx:
+        if args.experiment == "sla":
+            cfg = make_wan_cfg(args.model, attention_type="sla",
+                               sla_topk=args.sla_topk)
+            cfg_teacher = make_wan_cfg(args.model, attention_type="original")
+            cfg = apply_dotted_overrides(cfg, model_ovr)
+            cfg_teacher = apply_dotted_overrides(cfg_teacher, model_ovr)
+            cfg = dataclasses.replace(cfg, remat=remat)
+            cfg_teacher = dataclasses.replace(cfg_teacher, remat=remat)
+            # student initializes FROM the teacher weights; the teacher stays
+            # frozen with dense attention (t2v_model_sla.py). Keep the linear
+            # branch even with zero-init proj_l — it must receive gradients.
+            params, _ = load_dit(args.teacher_ckpt, cfg, args.seed)
+            teacher, _ = load_dit(args.teacher_ckpt, cfg_teacher, args.seed)
+            if mesh is not None:
+                # FSDP placement: optimizer.init inherits the param shardings
+                # (≡ fully_shard + DTensor optimizer state,
+                # rcm/utils/fsdp_helper.py:96-149)
+                params = shard_params(params, mesh)
+                teacher = shard_params(teacher, mesh)
+            state = TrainState(params, optimizer.init(params),
+                               jnp.zeros((), jnp.int32))
+            from turbodiffusion_tpu.training.train_step import (
+                make_sla_train_step)
+            step = make_sla_train_step(cfg, cfg_teacher, teacher, optimizer)
+        else:
+            cfg = make_wan_cfg(args.model, attention_type="original")
+            cfg = apply_dotted_overrides(cfg, model_ovr)
+            cfg = dataclasses.replace(cfg, remat=remat)
+            dcfg = D.DistillConfig()
+            dcfg = apply_dotted_overrides(
+                dcfg, [o[len("distill."):] for o in overrides
+                       if o.startswith("distill.")])
+            teacher, _ = load_dit(args.teacher_ckpt, cfg, args.seed)
+            if mesh is not None:
+                teacher = shard_params(teacher, mesh)
+            state = D.create_distill_state(teacher, optimizer, dcfg)
+            step = D.make_distill_steps(cfg, dcfg, optimizer)
 
-    ckpt = Checkpointer(args.ckpt_dir)
-    restored, at = ckpt.restore(state)
-    start = 0
-    if restored is not None:
-        state, start = restored, at
-        print(f"resumed from iteration {at}")
+        if mesh is not None:
+            base_step = step
 
-    callbacks = [IterSpeed(tcfg.log_every)]
-    if args.metrics_jsonl:
-        callbacks.append(JsonlLogger(args.metrics_jsonl))
-    trainer = Trainer(tcfg, step, checkpointer=ckpt, callbacks=callbacks)
-    trainer.train(state, loader, jax.random.PRNGKey(args.seed),
-                  start_iter=start)
+            def step(state, batch, key):
+                arrs = {k: v for k, v in batch.items()
+                        if hasattr(v, "dtype")}
+                return base_step(state, shard_batch(arrs, mesh), key)
+
+        if mesh is not None:
+            ptree = getattr(state, "params", None)
+            if ptree is None:
+                ptree = state.student
+            specs = sorted({str(l.sharding.spec)
+                            for l in jax.tree.leaves(ptree)
+                            if hasattr(l, "sharding")})
+            print(f"mesh {dict(mesh.shape)} remat={remat} "
+                  f"param shardings: {specs}", flush=True)
+
+        ckpt = Checkpointer(args.ckpt_dir)
+        restored, at = ckpt.restore(state)
+        start = 0
+        if restored is not None:
+            state, start = restored, at
+            print(f"resumed from iteration {at}")
+
+        callbacks = [IterSpeed(tcfg.log_every)]
+        if args.metrics_jsonl:
+            callbacks.append(JsonlLogger(args.metrics_jsonl))
+        trainer = Trainer(tcfg, step, checkpointer=ckpt, callbacks=callbacks)
+        trainer.train(state, loader, jax.random.PRNGKey(args.seed),
+                      start_iter=start)
 
 
 if __name__ == "__main__":
