@@ -220,8 +220,12 @@ def _conv_fused_or_taps(p, x_in, t_stride: int, pre=None, gamma=None,
                              residual=residual,
                              pre=pre if pre else "none")
     if pre == "norm_silu":
+        # default OFF: the Pallas norm+SiLU pass LOSES to XLA's own fusion —
+        # fetch-synced A/B at 480p/81f (r4): 4.28 s with the kernel vs
+        # 3.22 s without (the kernel adds an HBM round trip that XLA would
+        # have fused into the conv). It explained the r3 decode regression.
         if (jax.default_backend() == "tpu"
-                and os.environ.get("TDX_VAE_FUSED_NORM", "1") == "1"):
+                and os.environ.get("TDX_VAE_FUSED_NORM", "0") == "1"):
             from turbodiffusion_tpu.ops.conv_pallas import norm_silu_pallas
             x_in = norm_silu_pallas(x_in, gamma.reshape(-1))
         else:
@@ -414,7 +418,7 @@ def vae_decode(params, z, chunk: Optional[int] = None):
     # them into the jit key so toggling one isn't masked by the trace cache.
     flag = "|".join(os.environ.get(k, d) for k, d in
                     (("TDX_CONV_PALLAS", "0"), ("TDX_CONV_WINO", "0"),
-                     ("TDX_VAE_FUSED_NORM", "1")))
+                     ("TDX_VAE_FUSED_NORM", "0")))
     return _vae_decode(params, z, chunk, _pallas_flag=flag)
 
 
