@@ -39,6 +39,15 @@ def conv_xla(x, w):
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
+@jax.jit
+def conv_xla_3d(x, w):
+    # the decoder's real op: 3D conv, temporally valid (input carries the
+    # kt-1 cache frames), spatially SAME (models/vae.py _conv3d_cl)
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1, 1), [(0, 0), (1, 1), (1, 1)],
+        dimension_numbers=("NTHWC", "THWIO", "NTHWC"))
+
+
 def stage(T, H, W, Cin, Cout, kt=1):
     k = jax.random.PRNGKey(0)
     x = jax.random.normal(k, (1, T + kt - 1, H, W, Cin), jnp.bfloat16)
@@ -47,7 +56,12 @@ def stage(T, H, W, Cin, Cout, kt=1):
     b = jnp.zeros((Cout,), jnp.bfloat16)
     flops = 2 * T * H * W * 9 * kt * Cin * Cout
 
-    dt_x = tmin(conv_xla, x[:, :T].reshape(1 * T, H, W, Cin)[None].reshape(1, T, H, W, Cin), w2) if kt == 1 else None
+    if kt == 1:
+        dt_x = tmin(conv_xla,
+                    x[:, :T].reshape(1 * T, H, W, Cin)[None].reshape(
+                        1, T, H, W, Cin), w2)
+    else:
+        dt_x = tmin(conv_xla_3d, x, w3)
     dt_p = tmin(lambda x, w, b: conv3x3_fused(x, w, b), x, w3, b)
     ex = flops / dt_x / PEAK_BF16 * 100 if dt_x else 0
     ep = flops / dt_p / PEAK_BF16 * 100

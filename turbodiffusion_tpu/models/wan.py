@@ -396,9 +396,13 @@ def wan_forward(params, cfg: WanConfig, x_B_C_T_H_W, timesteps_B_T,
     x = L.linear(params["patch_embedding"], x)
     x = constrain(x, ("data", "context", None))
 
-    # fp32 time embedding + projection (wan2pt1.py:671-674)
+    # fp32 time embedding + projection (wan2pt1.py:671-674); explicitly
+    # replicated — tiny, and without the pin SPMD invents shardings for it
+    # that force replicate-then-repartition churn inside every block
     e_B_D = L.mlp_time_embedding(params["time_embedding"], t_B, cfg.freq_dim)
-    e0_B6D = L.time_projection(params["time_projection"], e_B_D, cfg.dim)
+    e0_B6D = constrain(
+        L.time_projection(params["time_projection"], e_B_D, cfg.dim),
+        ("data", None, None))
 
     # text context MLP (wan2pt1.py:678)
     te = params["text_embedding"]
@@ -428,6 +432,12 @@ def wan_forward(params, cfg: WanConfig, x_B_C_T_H_W, timesteps_B_T,
     x, _ = jax.lax.scan(block_fn, x, params["blocks"])
 
     out = wan_head(params["head"], x, e_B_D, cfg)
+    # gather the sequence BEFORE unpatchify (≡ cat_outputs_cp at the head
+    # output, wan2pt1.py:703-707): reshaping a context-sharded token dim
+    # into (t kt)(h kh)(w kw) forces SPMD into involuntary full
+    # rematerialization (replicate-then-repartition) — one explicit
+    # all-gather here is the cheap, intended collective
+    out = constrain(out, ("data", None, None))
     return unpatchify(out, T, H, W, cfg.patch_size, cfg.out_dim)
 
 
