@@ -1,7 +1,7 @@
 """Sweep full vae_decode on TPU: chunk sizes x norm-fusion, fetch-synced.
 
 Usage: python scripts_dev/drive_vae_decode.py [720p]
-Env: TDX_VAE_FUSED_NORM (default 1), TDX_CONV_WINO / TDX_CONV_PALLAS
+Env: TDX_BENCH_VAE_CHUNK
 (default off), TDX_DECODE_CHUNKS (comma list, default "4,5,10,20").
 """
 import os
@@ -25,7 +25,7 @@ z = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 21, h, w), jnp.float32)
 
 chunks = [int(c) for c in
           os.environ.get("TDX_DECODE_CHUNKS", "4,5,10,20").split(",")]
-fused = os.environ.get("TDX_VAE_FUSED_NORM", "1")
+fused = os.environ.get("TDX_VAE_FUSED_NORM", "0")
 for chunk in chunks:
     if 20 % chunk != 0:
         continue

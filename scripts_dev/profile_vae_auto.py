@@ -1,5 +1,5 @@
-"""Per-op profile of vae_decode at auto chunk. TDX_CONV_PALLAS toggles path.
-Run: TDX_CONV_PALLAS=0 PYTHONPATH=/root/.axon_site:/root/repo python scripts_dev/profile_vae_auto.py
+"""Per-op profile of vae_decode at auto chunk.
+Run: PYTHONPATH=/root/.axon_site:/root/repo python scripts_dev/profile_vae_auto.py
 """
 import os
 os.makedirs("/root/.jax_cache", exist_ok=True)
@@ -17,7 +17,7 @@ z = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 21, 60, 104), jnp.float32)
 fetch_sync(vae_decode(params, z))
 dt = measure_best(lambda p, z: vae_decode(p, z), params, z, n=3)
 print(f"vae_decode 480p/81f auto-chunk: {dt:.3f} s  "
-      f"(TDX_CONV_PALLAS={os.environ.get('TDX_CONV_PALLAS', '1')})")
+      )
 logdir = "/tmp/tdx_trace_vae_auto"
 with trace(logdir):
     fetch_sync(vae_decode(params, z))

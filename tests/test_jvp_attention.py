@@ -146,3 +146,34 @@ def test_sparse_jvp_pallas_kernel_matches_ref():
                                      block_q=bq, block_k=bk, interpret=True)
     np.testing.assert_allclose(o, o_ref, rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(do, do_ref, rtol=1e-3, atol=1e-3)
+
+
+def test_sparse_jvp_pallas_wide_lut():
+    """sel_pad > 128 lanes: the sparse JVP kernel's wide-LUT SMEM row ring
+    (the _lut_ring 4D layout + (idx//128, rem) indexing) vs jax.jvp through
+    the masked reference. At the real topk=0.1 training geometry the JVP
+    LUT stays <= 128 lanes, so this branch was untested (ADVICE r3 #2);
+    mirrors test_sparse_fwd_wide_lut. On-chip validation: the 81f bench
+    runs exercise only the narrow branch — wide remains interpret-only."""
+    from turbodiffusion_tpu.ops.flash_jvp_pallas import (
+        _flash_jvp_sparse_pallas)
+
+    bq = bk = 64
+    nK, sel = 130, 129                        # pads past one 128-lane tile
+    L, Lk = 64, nK * bk
+    q, k, v, dq, dk, dv = _qkv_and_tangents(jax.random.PRNGKey(11), L=L,
+                                            Lk=Lk, H=1, D=16)
+    scale = q.shape[-1] ** -0.5
+    lut = jnp.argsort(
+        jax.random.normal(jax.random.PRNGKey(12), (1, 1, 1, nK)), axis=-1
+    )[..., :sel].astype(jnp.int32)
+    o_ref, do_ref = jax.jvp(
+        lambda q_, k_, v_: sparse_attention_ref(q_, k_, v_, lut, bq, bk,
+                                                scale=scale),
+        (q, k, v), (dq, dk, dv))
+    o, do = _flash_jvp_sparse_pallas(q, k, v, dq, dk, dv, lut, scale=scale,
+                                     block_q=bq, block_k=bk, interpret=True)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(do), np.asarray(do_ref),
+                               rtol=2e-3, atol=2e-3)

@@ -162,32 +162,6 @@ def test_cross_attention_qout_on_chip():
 
 
 @requires_tpu
-def test_winograd_conv_on_chip():
-    """Winograd F(2,3) kernel at the decoder stage geometry that caught the
-    BO-divisor bug (O=192) — Mosaic compile + numerics vs direct conv."""
-    import jax
-    import jax.numpy as jnp
-    from turbodiffusion_tpu.ops.conv_pallas import conv3x3_fused_ref
-    from turbodiffusion_tpu.ops.winograd import wino_conv
-
-    ks = jax.random.split(jax.random.PRNGKey(13), 3)
-    x = jax.random.normal(ks[0], (1, 6, 120, 208, 96), jnp.bfloat16)
-    w = (jax.random.normal(ks[1], (3, 3, 3, 96, 192), jnp.float32) * 0.05
-         ).astype(jnp.bfloat16)
-    b = jax.random.normal(ks[2], (192,), jnp.bfloat16)
-
-    @jax.jit
-    def relerr(x, w, b):
-        got = wino_conv(x, w, b).astype(jnp.float32)
-        want = conv3x3_fused_ref(x, w, b).astype(jnp.float32)
-        return (jnp.max(jnp.abs(got - want)),
-                jnp.maximum(jnp.max(jnp.abs(want)), 1e-6))
-
-    num, den = jax.device_get(relerr(x, w, b))
-    assert float(num) / float(den) < 0.03
-
-
-@requires_tpu
 def test_sparse_jvp_pallas_on_chip():
     """Pallas sparse JVP kernel vs the jnp LUT-gather at a real-scale
     geometry (L=4096, H=4)."""

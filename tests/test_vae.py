@@ -72,16 +72,3 @@ def test_encode_decode_roundtrip_shape(vae_params):
     assert recon.shape == video.shape
 
 
-def test_norm_silu_pallas_matches_ref():
-    """One-pass Pallas channel-RMSNorm+SiLU == the jnp chain (ragged rows)."""
-    import numpy as np
-    from turbodiffusion_tpu.ops.conv_pallas import norm_silu_pallas
-    from turbodiffusion_tpu.models.vae import _channel_rms_norm
-    x = jax.random.normal(jax.random.PRNGKey(0), (1, 3, 5, 7, 96),
-                          jnp.bfloat16)
-    g = 1.0 + 0.1 * jax.random.normal(jax.random.PRNGKey(1), (96,),
-                                      jnp.float32)
-    got = np.asarray(norm_silu_pallas(x, g, interpret=True), np.float32)
-    want = np.asarray(jax.nn.silu(
-        _channel_rms_norm(x, g, 96).astype(jnp.float32)), np.float32)
-    np.testing.assert_allclose(got, want, atol=0.02, rtol=0.05)

@@ -176,61 +176,18 @@ class _CacheIO:
         self.cache[key] = val
 
 
-def _use_conv_pallas(w) -> bool:
-    """Opt-in (TDX_CONV_PALLAS=1) routing of 3x3-spatial convs to the Pallas
-    implicit-GEMM kernel (ops/conv_pallas.py). Default OFF: measured 6.4 s
-    vs 3.2 s for the XLA lowering at 480p/81f — the per-(dt,dh) patch
-    assembly loses to XLA's fused direct conv. Kept for A/B work; the
-    winning TPU path is the Winograd kernel (ops/winograd.py)."""
-    import os
-    return (jax.default_backend() == "tpu"
-            and os.environ.get("TDX_CONV_PALLAS", "0") == "1"
-            and w.ndim == 5 and w.shape[1] == 3 and w.shape[2] == 3)
-
-
-def _use_conv_wino(w, H: int, W: int) -> bool:
-    """Route 3x3-spatial convs to the fused Winograd F(2x2,3x3) kernel
-    (ops/winograd.py) on TPU: 2.25x fewer MXU multiplies than direct conv
-    and the norm/silu/bias/residual glue rides the kernel. Quad layout
-    needs even spatial dims (every Wan decoder stage is). Opt-in
-    (TDX_CONV_WINO=1) while the kernel's tiling is being tuned: measured
-    2x slower than the XLA direct conv at the hot stages (TH2=1 tiles,
-    scripts_dev/probe_wino.py)."""
-    import os
-    return (jax.default_backend() == "tpu"
-            and os.environ.get("TDX_CONV_WINO", "0") == "1"
-            and w.ndim == 5 and w.shape[1] == 3 and w.shape[2] == 3
-            and H % 2 == 0 and W % 2 == 0)
-
-
 def _conv_fused_or_taps(p, x_in, t_stride: int, pre=None, gamma=None,
                         residual=None):
-    """x_in: temporally extended input. Fused Pallas path when applicable,
-    else the norm/silu is applied here and the tap decomposition runs."""
-    if (t_stride == 1
-            and _use_conv_wino(p["w"], x_in.shape[2], x_in.shape[3])):
-        from turbodiffusion_tpu.ops.winograd import wino_conv
-        g = None if gamma is None else gamma.reshape(-1)
-        return wino_conv(x_in, p["w"], p["b"], gamma=g, residual=residual,
-                         pre=pre if pre else "none")
-    if t_stride == 1 and _use_conv_pallas(p["w"]):
-        from turbodiffusion_tpu.ops.conv_pallas import conv3x3_fused
-        g = None if gamma is None else gamma.reshape(-1)
-        return conv3x3_fused(x_in, p["w"], p["b"], gamma=g,
-                             residual=residual,
-                             pre=pre if pre else "none")
+    """x_in: temporally extended input. XLA direct conv with the norm/silu
+    applied in-graph — XLA's own fusion beats every hand kernel tried here:
+    Pallas implicit GEMM (r3: 6.4 s vs 3.2 s decode), Winograd F(2,3)
+    (r3: ~2x slower per hot stage), and the Pallas norm+SiLU pre-pass
+    (r4 fetch-synced A/B: 4.28 s vs 3.22 s — it added an HBM round trip
+    XLA would have fused into the conv). Those kernels were deleted in r4;
+    per-stage XLA-vs-Pallas numbers live in scripts_dev/probe_conv_stage.py
+    history and ROADMAP.md."""
     if pre == "norm_silu":
-        # default OFF: the Pallas norm+SiLU pass LOSES to XLA's own fusion —
-        # fetch-synced A/B at 480p/81f (r4): 4.28 s with the kernel vs
-        # 3.22 s without (the kernel adds an HBM round trip that XLA would
-        # have fused into the conv). It explained the r3 decode regression.
-        if (jax.default_backend() == "tpu"
-                and os.environ.get("TDX_VAE_FUSED_NORM", "0") == "1"):
-            from turbodiffusion_tpu.ops.conv_pallas import norm_silu_pallas
-            x_in = norm_silu_pallas(x_in, gamma.reshape(-1))
-        else:
-            x_in = jax.nn.silu(_channel_rms_norm(x_in, gamma,
-                                                 x_in.shape[-1]))
+        x_in = jax.nn.silu(_channel_rms_norm(x_in, gamma, x_in.shape[-1]))
     out = _conv3d_cl(p, x_in, t_stride=t_stride)
     if residual is not None:
         out = out + residual
@@ -284,15 +241,8 @@ def _spatial_upsample(p, x):
     """nearest-exact 2x + Conv2d(dim, dim//2, 3) (wan2pt1.py:93-96)."""
     B, T, H, W, C = x.shape
     h = jnp.repeat(jnp.repeat(x, 2, axis=2), 2, axis=3)
-    w = p["conv"]["w"]
-    w5 = w[None] if w.ndim == 4 else w
-    if _use_conv_wino(w5, 2 * H, 2 * W):
-        from turbodiffusion_tpu.ops.winograd import wino_conv
-        return wino_conv(h, w5, p["conv"]["b"])
-    if _use_conv_pallas(w5):
-        from turbodiffusion_tpu.ops.conv_pallas import conv3x3_fused
-        return conv3x3_fused(h, w5, p["conv"]["b"])
-    h = _conv2d_cl(w, p["conv"]["b"], h.reshape(B * T, 2 * H, 2 * W, C))
+    h = _conv2d_cl(p["conv"]["w"], p["conv"]["b"],
+                   h.reshape(B * T, 2 * H, 2 * W, C))
     return h.reshape(B, T, 2 * H, 2 * W, -1)
 
 
@@ -414,16 +364,11 @@ def vae_decode(params, z, chunk: Optional[int] = None):
     outside the scan."""
     if chunk is None:
         chunk = _auto_chunk(z.shape[2] - 1, z.shape[3], z.shape[4])
-    # These env flags are read at trace time deep in _causal_conv3d; thread
-    # them into the jit key so toggling one isn't masked by the trace cache.
-    flag = "|".join(os.environ.get(k, d) for k, d in
-                    (("TDX_CONV_PALLAS", "0"), ("TDX_CONV_WINO", "0"),
-                     ("TDX_VAE_FUSED_NORM", "0")))
-    return _vae_decode(params, z, chunk, _pallas_flag=flag)
+    return _vae_decode(params, z, chunk)
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "_pallas_flag"))
-def _vae_decode(params, z, chunk: int = 1, _pallas_flag: str = "1"):
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _vae_decode(params, z, chunk: int = 1):
     mean, std = _latent_scale()
     z = z.astype(jnp.float32) * std + mean
     dtype = params["conv2"]["w"].dtype
