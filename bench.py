@@ -181,12 +181,13 @@ def _run_scm(frames: int):
     from turbodiffusion_tpu.models.wan import init_wan_params
     from turbodiffusion_tpu.training import distill as D
 
-    # remat="full": the sagesla grad step needs 21.4 GB at mm_only
-    # (measured via AOT compile) — full recompute fits one 16 GB chip
+    # mm_only needs 21.4 GB at 81f (AOT-measured) — doesn't fit one chip;
+    # attn_only saves just the attention residual streams (~6 GB) and won
+    # the r4 remat A/B (table in ROADMAP); TDX_SCM_REMAT sweeps it
     cfg = wan_config("Wan2.1-1.3B",
                      attention=AttentionConfig(backend="sagesla",
                                                sla_topk=0.1),
-                     remat="full")
+                     remat=os.environ.get("TDX_SCM_REMAT", "attn_only"))
     teacher = init_wan_params(jax.random.PRNGKey(0), cfg)
     dcfg = D.DistillConfig(loss_scale_dmd=0.0)       # pure sCM phase
     cond = jax.random.normal(jax.random.PRNGKey(2), (1, 512, 4096),

@@ -365,7 +365,14 @@ def test_fused_sparse_bwd_wide_inverse_lut():
 
 def test_sparse_fwd_wide_lut():
     """sel > ~121 pads the forward LUT row past one 128-lane tile: the
-    forward gather and dq kernels must stage it through the 4D layout."""
+    forward gather and dq kernels must stage it through the 4D layout.
+
+    interpret-mode only: CI has no TPU, so this verifies numerics, not the
+    Mosaic lowering of the 4D SMEM row ring / dynamic (idx//128, rem)
+    indexing. Wide LUTs need sel > ~121: 64-block parity mode at topk>=0.25
+    (nK=512) or near-dense topk at block 256 — the default bench geometry
+    (topk 0.1, block 256, sel=13) stays narrow, so run this with
+    interpret=False if TPU CI ever exists."""
     from turbodiffusion_tpu.ops.attention import sparse_attention_ref
     from turbodiffusion_tpu.ops.flash_pallas import (
         _attention_bwd_sparse, _flash_bwd_fused, flash_attention)

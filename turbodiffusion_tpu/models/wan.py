@@ -23,6 +23,7 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 from einops import rearrange
 
 from turbodiffusion_tpu.config import WanConfig
@@ -303,6 +304,10 @@ def wan_block(p, x, e0_B6D, rope_cs, context, cfg: WanConfig,
                             x, e1, e0, eps=cfg.eps, quant_out=qout,
                             force_ref=cfg.attention.jvp_mode),
                         rope_cs, cfg, gate=e2, residual=x)
+    # remat="attn_only" saves exactly these two residual streams: the
+    # gather-bound attention is the expensive recompute, the int8 GEMMs are
+    # cheap to replay (SAC policy between mm_only's 21.4 GB and full)
+    x = checkpoint_name(x, "attn_out")
 
     ca_q = p["cross_attn"]["q"]
     qout_ca = (qout and "w_int8" in ca_q and ca_q["scale"].ndim == 1
@@ -316,6 +321,7 @@ def wan_block(p, x, e0_B6D, rope_cs, context, cfg: WanConfig,
         n3 = x
     x = _cross_attention(p["cross_attn"], n3, context, cfg,
                          img_context=img_context, residual=x)
+    x = checkpoint_name(x, "cross_out")
 
     fc1 = p["ffn"]["fc1"]
     qout_ffn = (qout and "w_int8" in fc1 and fc1["scale"].ndim == 1)
@@ -424,9 +430,17 @@ def wan_forward(params, cfg: WanConfig, x_B_C_T_H_W, timesteps_B_T,
         return out, None
 
     if cfg.remat != "none":
-        policy = (jax.checkpoint_policies.checkpoint_dots
-                  if cfg.remat == "mm_only" else
-                  jax.checkpoint_policies.nothing_saveable)
+        # mm_only ≡ SAC mm_only (saves every dot; 21.4 GB at 81f/1.3B);
+        # attn_only saves just the two named attention residual streams per
+        # block (~6 GB) and replays the int8 GEMMs; full/block_wise saves
+        # only the scan carry (selective_activation_checkpoint.py:26-59)
+        if cfg.remat == "mm_only":
+            policy = jax.checkpoint_policies.checkpoint_dots
+        elif cfg.remat == "attn_only":
+            policy = jax.checkpoint_policies.save_only_these_names(
+                "attn_out", "cross_out")
+        else:
+            policy = jax.checkpoint_policies.nothing_saveable
         block_fn = jax.checkpoint(block_fn, policy=policy)
 
     x, _ = jax.lax.scan(block_fn, x, params["blocks"])
