@@ -56,7 +56,7 @@ def main():
     with trace(logdir):
         generate(params, noise, jax.random.PRNGKey(5)).block_until_ready()
 
-    breakdown = op_time_breakdown(logdir, top_n=40)
+    breakdown = op_time_breakdown(logdir, top_n=400)
     tot_dev = sum(breakdown.values())
     print(f"\ntop ops (device ms, sum of top-40 = {tot_dev:.0f} ms):")
     for name, ms in breakdown.items():

@@ -403,19 +403,38 @@ def _sla_attention_fused_impl(q_proj, k_proj, v_proj, norm_q_w, norm_k_w,
         Q["pooled"], K["pooled"], L, cfg.block_k, cfg.sla_topk)
     from turbodiffusion_tpu.ops.sla_fused import subquant_pack_kv
     if v_chan:
-        # descriptor-minimal path: per-block K scales (SMEM table) +
-        # per-channel V — one DMA per gathered block
         from turbodiffusion_tpu.ops.flash_pallas import quantize_v_per_channel
         vi, vcs = quantize_v_per_channel(V["bf16"], L)
-        kvi, ksb = subquant_pack_kv(K["bf16"], k_mean, vi, cfg.block_k,
-                                    block_scales=True, kv_len=L,
-                                    interpret=interpret)
-        zb = jnp.zeros((*vi.shape[:3], 1), jnp.float32)
-        o = sparse_attention_i8_planes(
-            Q["i8"], Q["scale"], None, zb, None, zb, lut,
-            block_q=cfg.block_q, block_k=cfg.block_k, kv_len=L,
-            v_channel_scale=vcs, kvi_packed=kvi, k_block_scale=ksb,
-            interpret=interpret)
+        sel = lut.shape[-1]
+        import os as _os
+        use_vt = (sel * cfg.block_k <= 8192
+                  and _os.environ.get("TDX_SPARSE_VT", "1") != "0")
+        if use_vt:
+            # single-pass VT kernel: K panel + per-block transposed V panel
+            # (fast-form P@V contraction, no online softmax) — see
+            # flash_pallas._sparse_attn_kernel_i8b_vt
+            from turbodiffusion_tpu.ops.flash_pallas import (
+                sparse_attention_i8_vt)
+            from turbodiffusion_tpu.ops.sla_fused import subquant_pack_kvt
+            kp, vtp, ksb = subquant_pack_kvt(K["bf16"], k_mean, vi,
+                                             cfg.block_k, kv_len=L,
+                                             interpret=interpret)
+            o = sparse_attention_i8_vt(
+                Q["i8"], Q["scale"], kp, vtp, ksb, vcs, lut,
+                block_q=cfg.block_q, block_k=cfg.block_k, kv_len=L,
+                interpret=interpret)
+        else:
+            # descriptor-minimal grouped path: per-block K scales (SMEM
+            # table) + per-channel V — one DMA per gathered block
+            kvi, ksb = subquant_pack_kv(K["bf16"], k_mean, vi, cfg.block_k,
+                                        block_scales=True, kv_len=L,
+                                        interpret=interpret)
+            zb = jnp.zeros((*vi.shape[:3], 1), jnp.float32)
+            o = sparse_attention_i8_planes(
+                Q["i8"], Q["scale"], None, zb, None, zb, lut,
+                block_q=cfg.block_q, block_k=cfg.block_k, kv_len=L,
+                v_channel_scale=vcs, kvi_packed=kvi, k_block_scale=ksb,
+                interpret=interpret)
     else:
         vi, vs = V["i8"], V["scale"]
         kvi, ks = subquant_pack_kv(K["bf16"], k_mean, vi, cfg.block_k,

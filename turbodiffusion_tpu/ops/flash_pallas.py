@@ -40,6 +40,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+LOG2E = 1.4426950408889634  # fold into scales so kernels run exp2, not exp
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -549,7 +550,9 @@ def _sparse_attn_kernel_i8b(lut_hbm, q_ref, qs_ref, kv_hbm, ksc_ref,
     l = jnp.zeros((q_ref.shape[1], 1), jnp.float32)
     acc_scr[...] = jnp.zeros_like(acc_scr)
     qq = q_ref[0]                     # (BQ, D) int8
-    qsc = qs_ref[0]                   # (BQ, 1) fp32 row scales (x softmax)
+    qsc = qs_ref[0]                   # (BQ, 1) fp32 scales (x softmax, log2e)
+    # (1, bk) within-block column iota, reused by every group's tail mask
+    iota_bk = jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
 
     def body(g, carry):
         m, l = carry
@@ -567,26 +570,35 @@ def _sparse_attn_kernel_i8b(lut_hbm, q_ref, qs_ref, kv_hbm, ksc_ref,
 
         s32 = jax.lax.dot_general(qq, k, (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.int32)
-        s = s32.astype(jnp.float32) * qsc
 
-        # per-sub-block K scale (SMEM read by block id) + validity
-        sc_parts, col_parts = [], []
+        # Per-sub-block K scale + 0/1 validity, both (1, tile_k) ROWS: the
+        # masking is hoisted out of the (bq, tile_k) plane (this loop is
+        # VPU-bound, ~12 full-plane ops/element; the old iota/rem/compare
+        # select chain was 7 of them). Padded LUT entries and the sequence
+        # tail are zeroed multiplicatively AFTER the exp; their (finite,
+        # int8-bounded) scores still feed the row max, which is safe — a
+        # finite overestimate of m rescales p and l together and cancels
+        # in the o = acc/l finalize.
+        sc_parts, mk_parts = [], []
         for t in range(group):
             kb = _row_get(lut_ref, g * group + t)
-            live = (g * group + t < sel).astype(jnp.float32)
-            sc_parts.append(jnp.full((1, block_k),
-                                     ksc_ref[0, 0, kb] * live, jnp.float32))
-            col_parts.append(jnp.full((1, block_k), kb * block_k, jnp.int32))
+            sc_parts.append(jnp.full((1, block_k), ksc_ref[0, 0, kb],
+                                     jnp.float32))
+            live = jnp.logical_and(g * group + t < sel,
+                                   iota_bk + kb * block_k < kv_len)
+            mk_parts.append(live.astype(jnp.float32))
         krow = jnp.concatenate(sc_parts, axis=1)          # (1, tile_k)
-        within = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        col = jnp.concatenate(col_parts, axis=1) + \
-            jax.lax.rem(within, block_k)
-        s = jnp.where((col < kv_len) & (krow > 0.0), s * krow, NEG_INF)
+        mrow = jnp.concatenate(mk_parts, axis=1)          # (1, tile_k) 0/1
 
+        s = s32.astype(jnp.float32) * qsc * krow          # log2 domain
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        alpha = jnp.exp(m - m_new)
-        p = jnp.exp(s - m_new)
+        alpha = jnp.exp2(m - m_new)
+        p = jnp.exp2(s - m_new) * mrow
         l_new = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
+        # P stays bf16: int8 P (the sm90 trick) was A/B'd on-chip and LOSES
+        # here — contracting over v's sublane dim at int8 pays a repack that
+        # outweighs the 2x MXU rate (7.14 vs 6.52 ms/call at the headline
+        # geometry, scripts_dev/probe_sparse_bottleneck.py).
         acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
             p.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
             preferred_element_type=jnp.float32)
@@ -595,6 +607,193 @@ def _sparse_attn_kernel_i8b(lut_hbm, q_ref, qs_ref, kv_hbm, ksc_ref,
     m, l = jax.lax.fori_loop(0, n_groups, body, (m, l))
     o_ref[0] = ((acc_scr[...] / jnp.maximum(l, 1e-20)) * vch_ref[0]
                 ).astype(o_ref.dtype)
+
+
+def _sparse_attn_kernel_i8b_vt(lut_hbm, q_ref, qs_ref, k_hbm, vt_hbm,
+                               ksc_ref, vch_ref, o_ref,
+                               kbuf, vtbuf, sems, lut2_ref, lut_sem,
+                               *, block_k: int, sel: int, kv_len: int):
+    """Single-pass block-scale INT8 sparse attention over a TRANSPOSED V
+    panel. vs _sparse_attn_kernel_i8b (the grouped online-softmax kernel):
+
+    * the whole topk set (sel*block_k rows) is resident at once, so the
+      softmax is one max/exp2/sum — no online rescale, no fori_loop carry;
+    * V is gathered from a per-block (D, block_k) TRANSPOSED panel, so the
+      P@V product contracts the LANE dim of both operands — the fast Mosaic
+      MXU form. The (1,),(0,) sublane-contraction form was measured 1.4x
+      slower at the headline geometry, and int8 P (the sm90 SageAttention2
+      trick) loses to bf16 P in either form because the f32->int8 pack of
+      the (bq, tile) P plane outweighs the 2x MXU rate
+      (scripts_dev/probe_sparse_v2.py: 6.80 vs 7.30 ms/call);
+    * the NEXT program's K/VT panels are issued right after this program's
+      panels arrive (cross-program double buffer), hiding the gather under
+      the current program's MXU/VPU work.
+
+    Grid: (BH, nQ), iterated flat as step = bh*nQ + i; both dims must be
+    "arbitrary" (the prefetch chain assumes strict order).
+    """
+    D = kbuf.shape[-1]
+    bh, i = pl.program_id(0), pl.program_id(1)
+    nQ = pl.num_programs(1)
+    total = pl.num_programs(0) * nQ
+    step = bh * nQ + i
+    slot = jax.lax.rem(step, 2)
+
+    def kv_dmas(dst_slot, lut_slot, tgt_bh):
+        # tgt_bh is the TARGET program's head index — issuing for step+1
+        # across a bh boundary must read the next head's panels
+        ds = []
+        for t in range(sel):
+            kb = _row_get(lut2_ref.at[lut_slot], t)
+            start = pl.multiple_of(kb * block_k, block_k)
+            ds.append(pltpu.make_async_copy(
+                k_hbm.at[tgt_bh, pl.ds(start, block_k)],
+                kbuf.at[dst_slot, pl.ds(t * block_k, block_k)],
+                sems.at[0, dst_slot]))
+            ds.append(pltpu.make_async_copy(
+                vt_hbm.at[tgt_bh, kb],
+                vtbuf.at[dst_slot, :, pl.ds(t * block_k, block_k)],
+                sems.at[1, dst_slot]))
+        return ds
+
+    @pl.when(step == 0)
+    def _boot():
+        pltpu.make_async_copy(lut_hbm.at[0, 0], lut2_ref.at[0],
+                              lut_sem.at[0]).start()
+        if total > 1:
+            pltpu.make_async_copy(lut_hbm.at[(1 // nQ), (1 % nQ)],
+                                  lut2_ref.at[1], lut_sem.at[1]).start()
+        pltpu.make_async_copy(lut_hbm.at[0, 0], lut2_ref.at[0],
+                              lut_sem.at[0]).wait()
+        for d in kv_dmas(0, 0, 0):
+            d.start()
+
+    # this program's panels (issued by the previous program, or by _boot)
+    for t in range(sel):
+        pltpu.make_async_copy(
+            k_hbm.at[bh, pl.ds(0, block_k)],
+            kbuf.at[slot, pl.ds(t * block_k, block_k)],
+            sems.at[0, slot]).wait()
+        pltpu.make_async_copy(
+            vt_hbm.at[bh, 0],
+            vtbuf.at[slot, :, pl.ds(0, block_k)],
+            sems.at[1, slot]).wait()
+
+    # scale/mask rows from this LUT slot, extracted BEFORE the step+2 LUT
+    # prefetch can overwrite it (scalar core executes in program order)
+    iota_bk = jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
+    sc_parts, mk_parts = [], []
+    for t in range(sel):
+        kb = _row_get(lut2_ref.at[slot], t)
+        sc_parts.append(jnp.full((1, block_k), ksc_ref[0, 0, kb],
+                                 jnp.float32))
+        mk_parts.append((iota_bk + kb * block_k < kv_len
+                         ).astype(jnp.float32))
+    krow = jnp.concatenate(sc_parts, axis=1)          # (1, sel*bk)
+    mrow = jnp.concatenate(mk_parts, axis=1)          # (1, sel*bk) 0/1
+
+    @pl.when(step + 1 < total)
+    def _issue_next():
+        nxt = step + 1
+        pltpu.make_async_copy(lut_hbm.at[nxt // nQ, jax.lax.rem(nxt, nQ)],
+                              lut2_ref.at[1 - slot],
+                              lut_sem.at[1 - slot]).wait()
+        for d in kv_dmas(1 - slot, 1 - slot, nxt // nQ):
+            d.start()
+
+    @pl.when(step + 2 < total)
+    def _start_lut2():
+        nx2 = step + 2
+        pltpu.make_async_copy(lut_hbm.at[nx2 // nQ, jax.lax.rem(nx2, nQ)],
+                              lut2_ref.at[slot], lut_sem.at[slot]).start()
+
+    qq = q_ref[0]                    # (BQ, D) int8
+    qsc = qs_ref[0]                  # (BQ, 1) fp32 (x softmax scale x log2e)
+    s32 = jax.lax.dot_general(qq, kbuf[slot], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    s = s32.astype(jnp.float32) * qsc * krow          # log2 domain
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp2(s - m) * mrow
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    pv = jax.lax.dot_general(p.astype(jnp.bfloat16),
+                             vtbuf[slot].astype(jnp.bfloat16),
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    o_ref[0] = ((pv / jnp.maximum(l, 1e-20)) * vch_ref[0]
+                ).astype(o_ref.dtype)
+
+
+def sparse_attention_i8_vt(qi, qs, k_panel, vt_panel, k_block_scale,
+                           v_channel_scale, lut, *,
+                           scale: Optional[float] = None,
+                           block_q: int = 256, block_k: int = 256,
+                           kv_len: Optional[int] = None,
+                           interpret: bool = False):
+    """Block-sparse SageSLA attention — single-pass VT edition.
+
+    qi: (B, H, Lp, D) int8; qs: (B, H, Lp, 1) fp32 row scales;
+    k_panel: (B, H, Lkp, D) int8, per-BLOCK quantized (smooth-k applied);
+    vt_panel: (B, H, nK, D, block_k) int8 per-block TRANSPOSED V, per-channel
+    quantized; k_block_scale: (B, H, nK) fp32; v_channel_scale: (B, H, 1, D).
+    lut: (B, H, nQr, sel) int32. Returns (B, H, Lp, D) bf16 planes.
+
+    See _sparse_attn_kernel_i8b_vt for the design; falls back on the caller
+    to choose the grouped kernel when sel*block_k exceeds the resident-tile
+    budget (ops/attention.py keeps that dispatch).
+    """
+    B, H, Lp, D = qi.shape
+    Lkp = k_panel.shape[2]
+    BH = B * H
+    kv_len = Lkp if kv_len is None else kv_len
+    scale = float(D ** -0.5) if scale is None else float(scale)
+    nQ, nK = Lp // block_q, Lkp // block_k
+    sel = lut.shape[-1]
+
+    qi = qi.reshape(BH, Lp, D)
+    qs = qs.reshape(BH, Lp, 1) * (scale * LOG2E)
+    kp = k_panel.reshape(BH, Lkp, D)
+    vtp = vt_panel.reshape(BH, nK, D, block_k)
+    ksc = k_block_scale.reshape(BH, 1, nK).astype(jnp.float32)
+    vch = v_channel_scale.reshape(BH, 1, D).astype(jnp.float32)
+
+    lut_flat = lut.reshape(BH, lut.shape[-2], sel).astype(jnp.int32)
+    if lut_flat.shape[1] < nQ:
+        lut_flat = jnp.pad(lut_flat,
+                           ((0, 0), (0, nQ - lut_flat.shape[1]), (0, 0)))
+    sel_pad = _cdiv(sel, 128) * 128
+    lut_flat = jnp.pad(lut_flat, ((0, 0), (0, 0), (0, sel_pad - sel)))
+    lut_flat, lut_row = _lut_ring(lut_flat)
+
+    kernel = functools.partial(_sparse_attn_kernel_i8b_vt,
+                               block_k=block_k, sel=sel, kv_len=kv_len)
+    q_spec = pl.BlockSpec((1, block_q, D), lambda bh, i: (bh, i, 0))
+    out = pl.pallas_call(
+        kernel,
+        grid=(BH, nQ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),              # LUT
+            q_spec,
+            pl.BlockSpec((1, block_q, 1), lambda bh, i: (bh, i, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),              # K panel (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),              # VT panel (HBM)
+            pl.BlockSpec((1, 1, nK), lambda bh, i: (bh, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, D), lambda bh, i: (bh, 0, 0)),
+        ],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((BH, Lp, D), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((2, sel * block_k, D), jnp.int8),    # K slots
+            pltpu.VMEM((2, D, sel * block_k), jnp.int8),    # VT slots
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SMEM((2, *lut_row), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(lut_flat, qi, qs, kp, vtp, ksc, vch)
+    return out.reshape(B, H, Lp, D)
 
 
 def _rowquant_i8(x, eps=1e-6):
@@ -880,6 +1079,7 @@ def sparse_attention_i8_planes(qi, qs, ki, ks, vi, vs, lut, *,
 
     if blockscale:
         kvi = kvi_packed
+        qs = qs * LOG2E              # blockscale kernel runs exp2
         vch = v_channel_scale.reshape(BH, 1, D).astype(jnp.float32)
         # (BH, 1, nKb): SMEM blocks obey the same last-two-dims tiling rule
         # (block dim == array dim), so keep a unit middle axis

@@ -344,6 +344,77 @@ def _subquant_pack_kernel(k_ref, mu_ref, v_ref, kv_ref, sc_ref, *,
     kv_ref[0, :, D:] = v_ref[0]
 
 
+def _subquant_pack_kvt_kernel(k_ref, mu_ref, v_ref, kp_ref, vt_ref, sc_ref,
+                              *, block_k: int, kv_len: int):
+    """Smooth-k subtract + per-BLOCK int8 quant of K, plus a per-block
+    TRANSPOSED copy of the (already per-channel-quantized) V — the panel
+    pair consumed by the single-pass VT sparse kernel
+    (flash_pallas._sparse_attn_kernel_i8b_vt). One pass over K and V."""
+    xf = k_ref[0].astype(jnp.float32) - mu_ref[0]
+    TL = xf.shape[0]
+    nb = TL // block_k
+    offs = pl.program_id(1) * TL + \
+        jax.lax.broadcasted_iota(jnp.int32, (TL, 1), 0)
+    rowmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    rowmax = jnp.where(offs < kv_len, rowmax, 0.0)
+    segs = []
+    for bi in range(nb):
+        m = jnp.max(rowmax[bi * block_k:(bi + 1) * block_k])
+        segs.append(jnp.full((block_k, 1),
+                             jnp.maximum(m, 1e-8) * (1.0 / INT8_MAX),
+                             jnp.float32))
+    rows = jnp.concatenate(segs, axis=0)                    # (TL, 1)
+    kp_ref[0] = jnp.round(xf * (1.0 / rows)).astype(jnp.int8)
+    sc_ref[0] = rows.reshape(rows.shape[0] // 128, 128)
+    for bi in range(nb):
+        vt_ref[0, bi] = v_ref[0, bi * block_k:(bi + 1) * block_k, :].T
+
+
+@functools.partial(jax.jit, static_argnames=("block_k", "kv_len",
+                                              "interpret"))
+def subquant_pack_kvt(k_planes, mu, v_i8, block_k: int, kv_len=None,
+                      interpret: bool = False):
+    """Producer for the single-pass VT sparse kernel: K panel (per-block
+    int8, smooth-k subtracted), per-block transposed V panel, per-block K
+    scales — one fused pass.
+
+    k_planes: (B, H, Lp, D) bf16; mu: (B, H, 1, D); v_i8: (B, H, Lp, D) int8
+    (per-channel quantized). Returns (kp (B,H,Lp,D) int8,
+    vtp (B,H,nK,D,block_k) int8, ks (B,H,nK) fp32)."""
+    B, H, Lp, D = k_planes.shape
+    BH = B * H
+    k2 = k_planes.reshape(BH, Lp, D)
+    v2 = v_i8.reshape(BH, Lp, D)
+    m = mu.reshape(BH, 1, D).astype(jnp.float32)
+    TL = 1024 if Lp % 1024 == 0 else 512    # Lp is a 512 multiple
+    TL = min(TL, Lp)
+    assert Lp % TL == 0 and TL % block_k == 0, (Lp, TL, block_k)
+    nK = Lp // block_k
+    nb = TL // block_k
+    grid = (BH, Lp // TL)
+    kp, vtp, sc = pl.pallas_call(
+        functools.partial(_subquant_pack_kvt_kernel, block_k=block_k,
+                          kv_len=kv_len if kv_len is not None else Lp),
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, TL, D), lambda bh, i: (bh, i, 0)),
+                  pl.BlockSpec((1, 1, D), lambda bh, i: (bh, 0, 0)),
+                  pl.BlockSpec((1, TL, D), lambda bh, i: (bh, i, 0))],
+        out_specs=(pl.BlockSpec((1, TL, D), lambda bh, i: (bh, i, 0)),
+                   pl.BlockSpec((1, nb, D, block_k),
+                                lambda bh, i: (bh, i, 0, 0)),
+                   pl.BlockSpec((1, TL // 128, 128),
+                                lambda bh, i: (bh, i, 0))),
+        out_shape=(jax.ShapeDtypeStruct((BH, Lp, D), jnp.int8),
+                   jax.ShapeDtypeStruct((BH, nK, D, block_k), jnp.int8),
+                   jax.ShapeDtypeStruct((BH, Lp // 128, 128), jnp.float32)),
+        interpret=interpret,
+    )(k2, m, v2)
+    ks = sc.reshape(BH, nK, block_k)[:, :, 0]
+    return (kp.reshape(B, H, Lp, D),
+            vtp.reshape(B, H, nK, D, block_k),
+            ks.reshape(B, H, nK))
+
+
 @functools.partial(jax.jit, static_argnames=("block_k", "block_scales",
                                               "kv_len", "interpret"))
 def subquant_pack_kv(k_planes, mu, v_i8, block_k: int,
