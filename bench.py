@@ -72,6 +72,7 @@ def _denoise_bench(model, gen, quant=True, fuse_qkv=True, linear=True,
     cfg = wan_config(
         model,
         attention=AttentionConfig(backend="sagesla", sla_topk=0.1,
+                                  block_q=512, block_k=256,
                                   linear_branch=linear),
         quant_linear=quant,
     )

@@ -23,10 +23,14 @@ def main():
 
     cfg = wan_config(
         "Wan2.1-1.3B",
-        attention=AttentionConfig(backend="sagesla", sla_topk=0.1, block_q=256, block_k=256),
+        attention=AttentionConfig(backend="sagesla", sla_topk=0.1,
+                                  block_q=int(os.environ.get("TDX_PROFILE_BQ", 512)),
+                                  block_k=256),
         quant_linear=True,
     )
     gen = GenerationConfig()
+    if os.environ.get("TDX_PROFILE_720P", "0") == "1":
+        gen = GenerationConfig(resolution="720p")
 
     params = init_wan_params(jax.random.PRNGKey(0), cfg)
     from turbodiffusion_tpu.ops.quant import quantize_wan_blocks

@@ -313,6 +313,14 @@ def test_block_granularity_quality_stable_at_fixed_coverage():
     assert errs[256] < 2.0 * errs[64] + 1e-3, errs
     assert errs[128] < 2.0 * errs[64] + 1e-3, errs
 
+    # asymmetric TPU fast setting: Q gather blocks 2x the K selection
+    # granularity (block_q only coarsens the Q-side pooling of the map)
+    _, lut, _ = get_block_map(q, k, topk_ratio=0.25, block_q=512,
+                              block_k=256)
+    out = sparse_attention_ref(q, k, v, lut, 512, 256)
+    e = float(jnp.linalg.norm(out - dense) / jnp.linalg.norm(dense))
+    assert e < 2.0 * errs[64] + 1e-3, (e, errs)
+
 
 def test_cross_attention_qout_matches_ref():
     """Fused cross-attention + per-token int8 O-feed (the quantize_rows

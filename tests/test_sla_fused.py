@@ -300,3 +300,66 @@ def test_fused_wide_dim5120_matches_dense():
     err = np.abs(np.asarray(out, np.float32) - np.asarray(ref, np.float32))
     rel = err.max() / np.abs(np.asarray(ref)).max()
     assert rel < 0.06, rel
+
+
+def test_fused_full_coverage_block_q512_merged_pool(data):
+    """block_q=512 (the long-L gather-byte halver): Q-side pooling runs at
+    256 in head_planes and adjacent pooled rows are merged count-weighted in
+    _sla_attention_fused_impl. At topk=1.0 the result must still equal dense
+    attention (the merge only affects selection, and full coverage makes
+    selection irrelevant); L=520 exercises the ragged-tail count weighting
+    (block 1 has 8 valid rows) and the padded odd pooled-row count."""
+    x, w, cosF, sinF = data
+    kx = jax.random.split(jax.random.PRNGKey(11), 3)
+    q_proj = jax.random.normal(kx[0], (B, L, HD), jnp.bfloat16)
+    k_proj = jax.random.normal(kx[1], (B, L, HD), jnp.bfloat16)
+    v_proj = jax.random.normal(kx[2], (B, L, HD), jnp.bfloat16)
+
+    cfg = AttentionConfig(backend="sagesla", sla_topk=1.0, block_q=512,
+                          block_k=256, linear_branch=False,
+                          v_quant="channel")
+    o_planes = sla_attention_fused(
+        q_proj, k_proj, v_proj, w, w, (cosF, sinF), None, cfg,
+        num_heads=H, eps=1e-5, interpret=True)
+    out = jnp.swapaxes(o_planes[:, :, :L], 1, 2)
+
+    q = rmsnorm_rope_ref(q_proj, w, cosF, sinF, eps=1e-5)
+    k = rmsnorm_rope_ref(k_proj, w, cosF, sinF, eps=1e-5)
+    v = v_proj.reshape(B, L, H, DH)
+    ref = dense_attention_ref(q.astype(jnp.float32), k.astype(jnp.float32),
+                              v.astype(jnp.float32))
+    err = np.abs(np.asarray(out, np.float32) - np.asarray(ref, np.float32))
+    rel = err.max() / np.abs(np.asarray(ref)).max()
+    assert rel < 0.06, rel
+
+
+def test_merged_pool_equals_direct_wide_pool():
+    """The count-weighted merge of two 256-row pooled means equals pooling
+    at 512 directly (selection statistics identical up to fp noise)."""
+    from turbodiffusion_tpu.ops.attention import _sla_attention_fused_impl  # noqa: F401
+    L_, Dh_ = 520, 32
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, L_, Dh_), jnp.float32)
+    planes = x[:, None]                       # (1, 1, L, Dh)
+
+    def pooled(pool):
+        nP = -(-L_ // pool)
+        cnt = jnp.clip(L_ - jnp.arange(nP) * pool, 0, pool).astype(jnp.float32)
+        pad = nP * pool - L_
+        xp = jnp.pad(planes, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        return (jnp.sum(xp.reshape(1, 1, nP, pool, Dh_), axis=3)
+                / cnt[None, None, :, None]), cnt
+
+    p256, c256 = pooled(256)
+    p512, _ = pooled(512)
+    # the merge formula from _sla_attention_fused_impl
+    f = 2
+    nP = p256.shape[2]
+    nPp = -(-nP // f) * f
+    cnt = jnp.clip(L_ - jnp.arange(nPp) * 256, 0, 256).astype(jnp.float32)
+    pq = jnp.pad(p256, ((0, 0), (0, 0), (0, nPp - nP), (0, 0)))
+    pq = pq * cnt[None, None, :, None]
+    pq = pq.reshape(1, 1, nPp // f, f, Dh_).sum(3)
+    csum = jnp.maximum(cnt.reshape(nPp // f, f).sum(1), 1.0)
+    merged = pq / csum[None, None, :, None]
+    np.testing.assert_allclose(np.asarray(merged), np.asarray(p512),
+                               rtol=1e-5, atol=1e-5)

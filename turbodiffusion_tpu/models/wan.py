@@ -243,7 +243,7 @@ def _ffn(p, x, gate=None, residual=None):
 
     if (_prequantized(x) and "w_int8" in fc1 and "w_int8" in fc2
             and fc1["scale"].ndim == 1 and fc2["scale"].ndim == 1
-            and B == 1 and L * n_ffn < 600_000_000):
+            and B == 1 and L * n_ffn < 700_000_000):
         from turbodiffusion_tpu.ops.quant import (
             _pick_bn_div, int8_gemm_blockact_pallas,
             int8_gemm_postscale_qout_pallas)

@@ -24,6 +24,10 @@ import jax.numpy as jnp
 
 from turbodiffusion_tpu.config import AttentionConfig
 
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
 NEG_INF = -1e30
 
 
@@ -391,16 +395,34 @@ def _sla_attention_fused_impl(q_proj, k_proj, v_proj, norm_q_w, norm_k_w,
         return {k: jnp.concatenate([o[k] for o in outs], axis=1)
                 for k in outs[0]}
 
-    Q = planes(srcs[0][1], srcs[0][0], norm_q_w, True, cfg.block_q, True,
-               lin)
+    # head_planes' heavy Q pass runs 256-row tiles, so in-kernel pooling is
+    # capped at 256; wider Q gather blocks (block_q=512 halves the sparse
+    # kernel's gather bytes — it is HBM-bound at long L) merge adjacent
+    # pooled rows count-weighted afterwards, which is exactly the wider
+    # block mean.
+    q_pool = min(cfg.block_q, 256)
+    Q = planes(srcs[0][1], srcs[0][0], norm_q_w, True, q_pool, True, lin)
     K = planes(srcs[1][1], srcs[1][0], norm_k_w, True, cfg.block_k, False,
                True)
     v_chan = cfg.v_quant == "channel"
     V = planes(srcs[2][1], srcs[2][0], None, False, 0, not v_chan,
                lin or v_chan)
 
+    pooled_q = Q["pooled"]
+    if cfg.block_q > q_pool:
+        f = cfg.block_q // q_pool
+        nP = pooled_q.shape[2]
+        nPp = _cdiv(nP, f) * f
+        cnt = jnp.clip(L - jnp.arange(nPp) * q_pool, 0, q_pool
+                       ).astype(jnp.float32)
+        pq = jnp.pad(pooled_q, ((0, 0), (0, 0), (0, nPp - nP), (0, 0)))
+        pq = pq * cnt[None, None, :, None]
+        pq = pq.reshape(*pq.shape[:2], nPp // f, f, pq.shape[-1]).sum(3)
+        csum = jnp.maximum(cnt.reshape(nPp // f, f).sum(1), 1.0)
+        pooled_q = pq / csum[None, None, :, None]
+
     lut, _, k_mean = block_map_from_pooled(
-        Q["pooled"], K["pooled"], L, cfg.block_k, cfg.sla_topk)
+        pooled_q, K["pooled"], L, cfg.block_k, cfg.sla_topk)
     from turbodiffusion_tpu.ops.sla_fused import subquant_pack_kv
     if v_chan:
         from turbodiffusion_tpu.ops.flash_pallas import quantize_v_per_channel

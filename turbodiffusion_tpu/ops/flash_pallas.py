@@ -790,7 +790,11 @@ def sparse_attention_i8_vt(qi, qs, k_panel, vt_panel, k_block_scale,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary"),
+            # the resident (block_q, sel*block_k) f32 score plane at
+            # block_q=512 / 720p sel=29 is ~15 MB — above the 16 MB default
+            # scoped-vmem limit once temps are added; v5e has 128 MB VMEM
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(lut_flat, qi, qs, kp, vtp, ksc, vch)
     return out.reshape(B, H, Lp, D)

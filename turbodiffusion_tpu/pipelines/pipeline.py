@@ -49,8 +49,14 @@ def make_wan_cfg(model: str, attention_type: str = "sagesla",
     (SLA/kernel.py:247-248). v_quant: INT8 V granularity (config.py)."""
     backend = attention_type if attention_type in ("sla", "sagesla") else "dense"
     blk = 8 if model == "test" else sla_block
+    # Q gather blocks run 2x the K selection granularity at the TPU fast
+    # setting: the single-pass VT kernel's gather is HBM-bound and block_q
+    # only sets the Q-side pooling of the block map (selection coverage is
+    # unchanged; merged-pool equivalence + full-coverage tests in
+    # tests/test_sla_fused.py). Parity modes (64/128) keep block_q == blk.
+    bq = min(2 * blk, 512) if blk >= 256 else blk
     attn = AttentionConfig(backend=backend, sla_topk=sla_topk,
-                           block_q=blk, block_k=blk, v_quant=v_quant)
+                           block_q=bq, block_k=blk, v_quant=v_quant)
     if model == "test":
         from turbodiffusion_tpu.config import wan_test_config
         return wan_test_config(attention=attn, quant_linear=quant_linear)
