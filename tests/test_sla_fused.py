@@ -363,3 +363,37 @@ def test_merged_pool_equals_direct_wide_pool():
     merged = pq / csum[None, None, :, None]
     np.testing.assert_allclose(np.asarray(merged), np.asarray(p512),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_fused_linear_epilogue_matches_composable(data, monkeypatch):
+    """The linear branch fused into the pack producer + VT sparse epilogue
+    (TDX_LIN_FUSED=1, the default) vs the standalone
+    linear_projected_planes path (TDX_LIN_FUSED=0), RANDOM proj_l. The two
+    differ only in quantization noise feeding phi: the fused path recovers
+    phi(q) from int8 q rows and phi(k)^T v from int8 V (exact channel-scale
+    fold), the composable path uses the bf16 planes."""
+    x, w, cosF, sinF = data
+    kx = jax.random.split(jax.random.PRNGKey(21), 5)
+    q_proj = jax.random.normal(kx[0], (B, L, HD), jnp.bfloat16)
+    k_proj = jax.random.normal(kx[1], (B, L, HD), jnp.bfloat16)
+    v_proj = jax.random.normal(kx[2], (B, L, HD), jnp.bfloat16)
+    proj_l = {"w": 0.3 * jax.random.normal(kx[3], (DH, DH), jnp.float32),
+              "b": 0.1 * jax.random.normal(kx[4], (DH,), jnp.float32)}
+    cfg = AttentionConfig(backend="sagesla", sla_topk=0.5, block_q=128,
+                          block_k=128, linear_branch=True,
+                          v_quant="channel")
+
+    def run():
+        o = sla_attention_fused(q_proj, k_proj, v_proj, w, w, (cosF, sinF),
+                                proj_l, cfg, num_heads=H, eps=1e-5,
+                                interpret=True)
+        return np.asarray(o[:, :, :L], np.float32)
+
+    monkeypatch.setenv("TDX_LIN_FUSED", "1")
+    o_fused = run()
+    monkeypatch.setenv("TDX_LIN_FUSED", "0")
+    o_split = run()
+    assert np.isfinite(o_fused).all()
+    scale = np.abs(o_split).max()
+    rel = np.abs(o_fused - o_split).max() / scale
+    assert rel < 0.03, rel

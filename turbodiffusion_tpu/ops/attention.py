@@ -395,13 +395,31 @@ def _sla_attention_fused_impl(q_proj, k_proj, v_proj, norm_q_w, norm_k_w,
         return {k: jnp.concatenate([o[k] for o in outs], axis=1)
                 for k in outs[0]}
 
+    # the single-pass VT kernel (and, with the linear branch on, the fused
+    # linear-apply epilogue) is chosen whenever the whole topk panel fits
+    # the resident-tile budget; sel is known before the planes run
+    v_chan_early = cfg.v_quant == "channel"
+    nK_map = _cdiv(L, cfg.block_k)
+    sel_early = max(1, min(nK_map, int(cfg.sla_topk * nK_map)))
+    import os as _os
+    use_vt = (v_chan_early and sel_early * cfg.block_k <= 8192
+              and _os.environ.get("TDX_SPARSE_VT", "1") != "0")
+    # fuse the linear branch into the pack producer + sparse epilogue (its
+    # standalone accumulate/apply passes re-walk ~400MB of planes per layer
+    # and the o + o_l add another 300MB); TDX_LIN_FUSED=0 reverts
+    fuse_lin = (lin and use_vt and proj_l is not None
+                and _os.environ.get("TDX_LIN_FUSED", "1") != "0")
+
     # head_planes' heavy Q pass runs 256-row tiles, so in-kernel pooling is
     # capped at 256; wider Q gather blocks (block_q=512 halves the sparse
     # kernel's gather bytes — it is HBM-bound at long L) merge adjacent
     # pooled rows count-weighted afterwards, which is exactly the wider
     # block mean.
     q_pool = min(cfg.block_q, 256)
-    Q = planes(srcs[0][1], srcs[0][0], norm_q_w, True, q_pool, True, lin)
+    # with the fused linear epilogue, phi(q) is recovered in-kernel from the
+    # int8 q — the bf16 Q plane has no consumer left
+    Q = planes(srcs[0][1], srcs[0][0], norm_q_w, True, q_pool, True,
+               lin and not fuse_lin)
     K = planes(srcs[1][1], srcs[1][0], norm_k_w, True, cfg.block_k, False,
                True)
     v_chan = cfg.v_quant == "channel"
@@ -428,9 +446,9 @@ def _sla_attention_fused_impl(q_proj, k_proj, v_proj, norm_q_w, norm_k_w,
         from turbodiffusion_tpu.ops.flash_pallas import quantize_v_per_channel
         vi, vcs = quantize_v_per_channel(V["bf16"], L)
         sel = lut.shape[-1]
-        import os as _os
-        use_vt = (sel * cfg.block_k <= 8192
-                  and _os.environ.get("TDX_SPARSE_VT", "1") != "0")
+        assert use_vt == (sel * cfg.block_k <= 8192
+                          and _os.environ.get("TDX_SPARSE_VT", "1") != "0"), \
+            (sel, sel_early)
         if use_vt:
             # single-pass VT kernel: K panel + per-block transposed V panel
             # (fast-form P@V contraction, no online softmax) — see
@@ -438,12 +456,26 @@ def _sla_attention_fused_impl(q_proj, k_proj, v_proj, norm_q_w, norm_k_w,
             from turbodiffusion_tpu.ops.flash_pallas import (
                 sparse_attention_i8_vt)
             from turbodiffusion_tpu.ops.sla_fused import subquant_pack_kvt
-            kp, vtp, ksb = subquant_pack_kvt(K["bf16"], k_mean, vi,
-                                             cfg.block_k, kv_len=L,
-                                             interpret=interpret)
+            packed = subquant_pack_kvt(K["bf16"], k_mean, vi, cfg.block_k,
+                                       kv_len=L, linear_kv=fuse_lin,
+                                       interpret=interpret)
+            kp, vtp, ksb = packed[:3]
+            lin_kvw = lin_ksb = None
+            if fuse_lin:
+                kv_raw, ksum = packed[3], packed[4]
+                # fold V's per-channel int8 scale into kv's columns (exact:
+                # kv[d,e] = vcs[e] * sum_l phi(k)[l,d] vi[l,e]), then proj_l
+                kv = kv_raw * vcs.astype(jnp.float32)       # (B,H,D,D)*(B,H,1,D)
+                lin_kvw = jnp.einsum(
+                    "bhde,ef->bhdf", kv, proj_l["w"].astype(jnp.float32))
+                bias = jnp.broadcast_to(
+                    proj_l["b"].astype(jnp.float32)[None, None, None],
+                    ksum.shape)
+                lin_ksb = jnp.concatenate([ksum, bias], axis=2)  # (B,H,2,D)
             o = sparse_attention_i8_vt(
                 Q["i8"], Q["scale"], kp, vtp, ksb, vcs, lut,
                 block_q=cfg.block_q, block_k=cfg.block_k, kv_len=L,
+                lin_kvw=lin_kvw, lin_ks_bias=lin_ksb,
                 interpret=interpret)
         else:
             # descriptor-minimal grouped path: per-block K scales (SMEM
@@ -465,7 +497,7 @@ def _sla_attention_fused_impl(q_proj, k_proj, v_proj, norm_q_w, norm_k_w,
             Q["i8"], Q["scale"], None, ks, None, vs, lut,
             block_q=cfg.block_q, block_k=cfg.block_k, kv_len=L,
             kvi_packed=kvi, interpret=interpret)
-    if lin:
+    if lin and not fuse_lin:
         o = o + linear_projected_planes(
             Q["bf16"], K["bf16"], V["bf16"],
             proj_l["w"], proj_l["b"], true_len=L, interpret=interpret)

@@ -610,9 +610,9 @@ def _sparse_attn_kernel_i8b(lut_hbm, q_ref, qs_ref, kv_hbm, ksc_ref,
 
 
 def _sparse_attn_kernel_i8b_vt(lut_hbm, q_ref, qs_ref, k_hbm, vt_hbm,
-                               ksc_ref, vch_ref, o_ref,
-                               kbuf, vtbuf, sems, lut2_ref, lut_sem,
-                               *, block_k: int, sel: int, kv_len: int):
+                               ksc_ref, vch_ref, *rest,
+                               block_k: int, sel: int, kv_len: int,
+                               lin_inv=None):
     """Single-pass block-scale INT8 sparse attention over a TRANSPOSED V
     panel. vs _sparse_attn_kernel_i8b (the grouped online-softmax kernel):
 
@@ -631,7 +631,20 @@ def _sparse_attn_kernel_i8b_vt(lut_hbm, q_ref, qs_ref, k_hbm, vt_hbm,
 
     Grid: (BH, nQ), iterated flat as step = bh*nQ + i; both dims must be
     "arbitrary" (the prefetch chain assumes strict order).
+
+    lin_inv (static float): when set, the SLA linear branch's apply pass is
+    fused into this kernel's epilogue — two extra inputs precede o_ref:
+    kvw (1, D, D) f32 (proj_l-folded phi(k)^T v) and lsb (1, 2, D) f32
+    (row 0: sum phi(k); row 1: proj_l bias). phi(q) is recovered from the
+    int8 q via its row scale (qs carries scale*log2e — lin_inv undoes it);
+    the resulting o += phi(q) kvw / (1e-5 + phi(q).ksum) + b deletes the
+    standalone linear-apply pass AND the separate o + o_l add (a full
+    read-read-write of both o planes).
     """
+    if lin_inv is not None:
+        kvw_ref, lsb_ref, o_ref, kbuf, vtbuf, sems, lut2_ref, lut_sem = rest
+    else:
+        o_ref, kbuf, vtbuf, sems, lut2_ref, lut_sem = rest
     D = kbuf.shape[-1]
     bh, i = pl.program_id(0), pl.program_id(1)
     nQ = pl.num_programs(1)
@@ -719,8 +732,17 @@ def _sparse_attn_kernel_i8b_vt(lut_hbm, q_ref, qs_ref, k_hbm, vt_hbm,
                              vtbuf[slot].astype(jnp.bfloat16),
                              (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    o_ref[0] = ((pv / jnp.maximum(l, 1e-20)) * vch_ref[0]
-                ).astype(o_ref.dtype)
+    out = (pv / jnp.maximum(l, 1e-20)) * vch_ref[0]
+    if lin_inv is not None:
+        qd = qq.astype(jnp.float32) * (qsc * lin_inv)    # raw roped/normed q
+        mq = jnp.max(qd, axis=-1, keepdims=True)
+        eq = jnp.exp(qd - mq)
+        pq = eq / jnp.sum(eq, axis=-1, keepdims=True)    # phi(q), (BQ, D)
+        num = jax.lax.dot(pq, kvw_ref[0],
+                          preferred_element_type=jnp.float32)
+        den = 1e-5 + jnp.sum(pq * lsb_ref[0, 0:1], axis=-1, keepdims=True)
+        out = out + num / den + lsb_ref[0, 1:2]
+    o_ref[0] = out.astype(o_ref.dtype)
 
 
 def sparse_attention_i8_vt(qi, qs, k_panel, vt_panel, k_block_scale,
@@ -728,6 +750,7 @@ def sparse_attention_i8_vt(qi, qs, k_panel, vt_panel, k_block_scale,
                            scale: Optional[float] = None,
                            block_q: int = 256, block_k: int = 256,
                            kv_len: Optional[int] = None,
+                           lin_kvw=None, lin_ks_bias=None,
                            interpret: bool = False):
     """Block-sparse SageSLA attention — single-pass VT edition.
 
@@ -736,6 +759,10 @@ def sparse_attention_i8_vt(qi, qs, k_panel, vt_panel, k_block_scale,
     vt_panel: (B, H, nK, D, block_k) int8 per-block TRANSPOSED V, per-channel
     quantized; k_block_scale: (B, H, nK) fp32; v_channel_scale: (B, H, 1, D).
     lut: (B, H, nQr, sel) int32. Returns (B, H, Lp, D) bf16 planes.
+
+    lin_kvw (B, H, D, D) f32 + lin_ks_bias (B, H, 2, D) f32 (row 0 ksum,
+    row 1 proj_l bias): fuse the SLA linear-branch apply into the output
+    epilogue (see the kernel docstring).
 
     See _sparse_attn_kernel_i8b_vt for the design; falls back on the caller
     to choose the grouped kernel when sel*block_k exceeds the resident-tile
@@ -764,22 +791,32 @@ def sparse_attention_i8_vt(qi, qs, k_panel, vt_panel, k_block_scale,
     lut_flat = jnp.pad(lut_flat, ((0, 0), (0, 0), (0, sel_pad - sel)))
     lut_flat, lut_row = _lut_ring(lut_flat)
 
+    lin = lin_kvw is not None
+    lin_inv = (1.0 / (scale * LOG2E)) if lin else None
     kernel = functools.partial(_sparse_attn_kernel_i8b_vt,
-                               block_k=block_k, sel=sel, kv_len=kv_len)
+                               block_k=block_k, sel=sel, kv_len=kv_len,
+                               lin_inv=lin_inv)
     q_spec = pl.BlockSpec((1, block_q, D), lambda bh, i: (bh, i, 0))
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),              # LUT
+        q_spec,
+        pl.BlockSpec((1, block_q, 1), lambda bh, i: (bh, i, 0)),
+        pl.BlockSpec(memory_space=pl.ANY),              # K panel (HBM)
+        pl.BlockSpec(memory_space=pl.ANY),              # VT panel (HBM)
+        pl.BlockSpec((1, 1, nK), lambda bh, i: (bh, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, D), lambda bh, i: (bh, 0, 0)),
+    ]
+    ins = [lut_flat, qi, qs, kp, vtp, ksc, vch]
+    if lin:
+        in_specs += [pl.BlockSpec((1, D, D), lambda bh, i: (bh, 0, 0)),
+                     pl.BlockSpec((1, 2, D), lambda bh, i: (bh, 0, 0))]
+        ins += [lin_kvw.reshape(BH, D, D).astype(jnp.float32),
+                lin_ks_bias.reshape(BH, 2, D).astype(jnp.float32)]
     out = pl.pallas_call(
         kernel,
         grid=(BH, nQ),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),              # LUT
-            q_spec,
-            pl.BlockSpec((1, block_q, 1), lambda bh, i: (bh, i, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),              # K panel (HBM)
-            pl.BlockSpec(memory_space=pl.ANY),              # VT panel (HBM)
-            pl.BlockSpec((1, 1, nK), lambda bh, i: (bh, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, D), lambda bh, i: (bh, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=q_spec,
         out_shape=jax.ShapeDtypeStruct((BH, Lp, D), jnp.bfloat16),
         scratch_shapes=[
@@ -796,7 +833,7 @@ def sparse_attention_i8_vt(qi, qs, k_panel, vt_panel, k_block_scale,
             # scoped-vmem limit once temps are added; v5e has 128 MB VMEM
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(lut_flat, qi, qs, kp, vtp, ksc, vch)
+    )(*ins)
     return out.reshape(B, H, Lp, D)
 
 

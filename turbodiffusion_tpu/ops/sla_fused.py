@@ -345,12 +345,21 @@ def _subquant_pack_kernel(k_ref, mu_ref, v_ref, kv_ref, sc_ref, *,
 
 
 def _subquant_pack_kvt_kernel(k_ref, mu_ref, v_ref, kp_ref, vt_ref, sc_ref,
-                              *, block_k: int, kv_len: int):
+                              *acc, block_k: int, kv_len: int):
     """Smooth-k subtract + per-BLOCK int8 quant of K, plus a per-block
     TRANSPOSED copy of the (already per-channel-quantized) V — the panel
     pair consumed by the single-pass VT sparse kernel
-    (flash_pallas._sparse_attn_kernel_i8b_vt). One pass over K and V."""
-    xf = k_ref[0].astype(jnp.float32) - mu_ref[0]
+    (flash_pallas._sparse_attn_kernel_i8b_vt). One pass over K and V.
+
+    With `acc` (linear_kv=True): also accumulates the SLA linear branch's
+    KV statistics over the same K/V walk — kv += phi(k)^T v_i8 and
+    ksum += sum phi(k) (phi = softmax over head dim of the RAW roped/normed
+    k, reference SLA/core.py:94-114) — deleting the separate
+    linear-attention accumulation pass over K and V (one full HBM re-read
+    of both). V's per-channel int8 scale folds exactly into the kv columns
+    outside the kernel."""
+    kf = k_ref[0].astype(jnp.float32)
+    xf = kf - mu_ref[0]
     TL = xf.shape[0]
     nb = TL // block_k
     offs = pl.program_id(1) * TL + \
@@ -369,18 +378,49 @@ def _subquant_pack_kvt_kernel(k_ref, mu_ref, v_ref, kp_ref, vt_ref, sc_ref,
     for bi in range(nb):
         vt_ref[0, bi] = v_ref[0, bi * block_k:(bi + 1) * block_k, :].T
 
+    if acc:
+        kv_ref, ksum_ref, kv_acc, ks_acc = acc
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            kv_acc[...] = jnp.zeros_like(kv_acc)
+            ks_acc[...] = jnp.zeros_like(ks_acc)
+
+        mx = jnp.max(kf, axis=-1, keepdims=True)
+        e = jnp.exp(kf - mx)
+        pk = e / jnp.sum(e, axis=-1, keepdims=True)
+        # rows past kv_len are unwritten garbage (possibly NaN -> NaN pk
+        # row); the where() replaces them with 0 after the softmax
+        pk = jnp.where(offs < kv_len, pk, 0.0)
+        vf = v_ref[0].astype(jnp.float32)       # int8 -> always finite
+        kv_acc[...] += jax.lax.dot_general(
+            pk, vf, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ks_acc[...] += jnp.sum(pk, axis=0, keepdims=True)
+
+        @pl.when(j == pl.num_programs(1) - 1)
+        def _():
+            kv_ref[0] = kv_acc[...]
+            ksum_ref[0] = ks_acc[...]
+
 
 @functools.partial(jax.jit, static_argnames=("block_k", "kv_len",
-                                              "interpret"))
+                                              "linear_kv", "interpret"))
 def subquant_pack_kvt(k_planes, mu, v_i8, block_k: int, kv_len=None,
-                      interpret: bool = False):
+                      linear_kv: bool = False, interpret: bool = False):
     """Producer for the single-pass VT sparse kernel: K panel (per-block
     int8, smooth-k subtracted), per-block transposed V panel, per-block K
     scales — one fused pass.
 
     k_planes: (B, H, Lp, D) bf16; mu: (B, H, 1, D); v_i8: (B, H, Lp, D) int8
     (per-channel quantized). Returns (kp (B,H,Lp,D) int8,
-    vtp (B,H,nK,D,block_k) int8, ks (B,H,nK) fp32)."""
+    vtp (B,H,nK,D,block_k) int8, ks (B,H,nK) fp32).
+
+    linear_kv=True: additionally returns (kv (B,H,D,D) f32, ksum (B,H,1,D)
+    f32) — the SLA linear branch's phi(k)^T v / sum phi(k) statistics
+    accumulated in the same K/V walk (v still int8: fold its per-channel
+    scale into kv's columns before use)."""
     B, H, Lp, D = k_planes.shape
     BH = B * H
     k2 = k_planes.reshape(BH, Lp, D)
@@ -392,27 +432,42 @@ def subquant_pack_kvt(k_planes, mu, v_i8, block_k: int, kv_len=None,
     nK = Lp // block_k
     nb = TL // block_k
     grid = (BH, Lp // TL)
-    kp, vtp, sc = pl.pallas_call(
+    out_specs = [pl.BlockSpec((1, TL, D), lambda bh, i: (bh, i, 0)),
+                 pl.BlockSpec((1, nb, D, block_k),
+                              lambda bh, i: (bh, i, 0, 0)),
+                 pl.BlockSpec((1, TL // 128, 128),
+                              lambda bh, i: (bh, i, 0))]
+    out_shape = [jax.ShapeDtypeStruct((BH, Lp, D), jnp.int8),
+                 jax.ShapeDtypeStruct((BH, nK, D, block_k), jnp.int8),
+                 jax.ShapeDtypeStruct((BH, Lp // 128, 128), jnp.float32)]
+    scratch = []
+    if linear_kv:
+        out_specs += [pl.BlockSpec((1, D, D), lambda bh, i: (bh, 0, 0)),
+                      pl.BlockSpec((1, 1, D), lambda bh, i: (bh, 0, 0))]
+        out_shape += [jax.ShapeDtypeStruct((BH, D, D), jnp.float32),
+                      jax.ShapeDtypeStruct((BH, 1, D), jnp.float32)]
+        scratch = [pltpu.VMEM((D, D), jnp.float32),
+                   pltpu.VMEM((1, D), jnp.float32)]
+    outs = pl.pallas_call(
         functools.partial(_subquant_pack_kvt_kernel, block_k=block_k,
                           kv_len=kv_len if kv_len is not None else Lp),
         grid=grid,
         in_specs=[pl.BlockSpec((1, TL, D), lambda bh, i: (bh, i, 0)),
                   pl.BlockSpec((1, 1, D), lambda bh, i: (bh, 0, 0)),
                   pl.BlockSpec((1, TL, D), lambda bh, i: (bh, i, 0))],
-        out_specs=(pl.BlockSpec((1, TL, D), lambda bh, i: (bh, i, 0)),
-                   pl.BlockSpec((1, nb, D, block_k),
-                                lambda bh, i: (bh, i, 0, 0)),
-                   pl.BlockSpec((1, TL // 128, 128),
-                                lambda bh, i: (bh, i, 0))),
-        out_shape=(jax.ShapeDtypeStruct((BH, Lp, D), jnp.int8),
-                   jax.ShapeDtypeStruct((BH, nK, D, block_k), jnp.int8),
-                   jax.ShapeDtypeStruct((BH, Lp // 128, 128), jnp.float32)),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=scratch,
         interpret=interpret,
     )(k2, m, v2)
+    kp, vtp, sc = outs[:3]
     ks = sc.reshape(BH, nK, block_k)[:, :, 0]
-    return (kp.reshape(B, H, Lp, D),
-            vtp.reshape(B, H, nK, D, block_k),
-            ks.reshape(B, H, nK))
+    res = (kp.reshape(B, H, Lp, D),
+           vtp.reshape(B, H, nK, D, block_k),
+           ks.reshape(B, H, nK))
+    if linear_kv:
+        res += (outs[3].reshape(B, H, D, D), outs[4].reshape(B, H, 1, D))
+    return res
 
 
 @functools.partial(jax.jit, static_argnames=("block_k", "block_scales",
