@@ -155,3 +155,49 @@ def test_ulysses_fused_sla_qkv_fused_input():
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32),
                                rtol=1e-5, atol=1e-5)
+
+
+@requires_8_devices
+def test_ulysses_fused_sla_wide_block_q():
+    """Regression (ADVICE r4 high): production make_wan_cfg defaults
+    block_q=512 (2x block_k); head_planes caps in-kernel pooling at 256, so
+    ulysses_sla_fused must merge pooled rows count-weighted like the
+    single-device path (ops/attention.py:418-441) instead of asserting.
+    Runs the real-model default config (quant V per channel, linear branch
+    on) and checks it matches the single-device fused pipeline."""
+    from turbodiffusion_tpu.ops.attention import sla_attention_fused
+    from turbodiffusion_tpu.ops.sla_fused import unfold_planes
+    from turbodiffusion_tpu.parallel.ulysses import ulysses_sla_fused
+
+    mesh = make_mesh(MeshConfig(data=1, fsdp=1, context=2))
+    B, L, H, Dh = 1, 1024, 2, 128
+    HD = H * Dh
+    ks = jax.random.split(jax.random.PRNGKey(7), 4)
+    cfg = AttentionConfig(backend="sagesla", sla_topk=0.5,
+                          block_q=512, block_k=256)
+    nq_w = 1.0 + 0.1 * jax.random.normal(ks[3], (HD,))
+    nk_w = 1.0 - 0.1 * jax.random.normal(ks[3], (HD,))
+    proj_l = {"w": jnp.eye(Dh, dtype=jnp.float32) * 0.05,
+              "b": jnp.zeros((Dh,), jnp.float32)}
+
+    from turbodiffusion_tpu.ops.fused_norm import rope_cos_sin_full
+    from turbodiffusion_tpu.models.rope import rope_freqs_3d
+    rope_cs = rope_cos_sin_full(rope_freqs_3d(4, 16, 16, Dh))
+
+    def mk(i):
+        return jax.random.normal(ks[i], (B, L, HD), jnp.float32) * 0.5
+
+    q_proj, k_proj, v_proj = mk(0), mk(1), mk(2)
+
+    single = sla_attention_fused(
+        q_proj, k_proj, v_proj, nq_w, nk_w, rope_cs, proj_l, cfg,
+        num_heads=H, interpret=True)
+    single = unfold_planes(single, L)
+
+    with use_mesh(mesh):
+        out = jax.jit(lambda q, k, v: ulysses_sla_fused(
+            q, k, v, nq_w, nk_w, rope_cs, proj_l, cfg, num_heads=H,
+            mesh=mesh, interpret=True))(q_proj, k_proj, v_proj)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(single, np.float32),
+                               rtol=2e-2, atol=2e-2)

