@@ -182,13 +182,17 @@ def _run_scm(frames: int):
     from turbodiffusion_tpu.models.wan import init_wan_params
     from turbodiffusion_tpu.training import distill as D
 
-    # mm_only needs 21.4 GB at 81f (AOT-measured) — doesn't fit one chip;
-    # attn_only saves just the attention residual streams (~6 GB) and won
-    # the r4 remat A/B (table in ROADMAP); TDX_SCM_REMAT sweeps it
+    # Remat-mode memory ladder at 81f/1.3B, measured on-chip (r5): mm_only
+    # 21.4 GB (AOT) > self_attn_only 16.79 GB (OOM; one residual stack less
+    # than attn_only but 47% allocator fragmentation eats the margin) >
+    # attn_only 16.40 GB (OOM by 672 MB, BENCH_r04) > full (carry stack
+    # only, ~11 GB, 8.09 s) — full is the only mode that fits one 16 GB
+    # chip at this geometry, so it is the default; TDX_SCM_REMAT overrides.
+    remat = os.environ.get("TDX_SCM_REMAT", "full")
     cfg = wan_config("Wan2.1-1.3B",
                      attention=AttentionConfig(backend="sagesla",
                                                sla_topk=0.1),
-                     remat=os.environ.get("TDX_SCM_REMAT", "attn_only"))
+                     remat=remat)
     teacher = init_wan_params(jax.random.PRNGKey(0), cfg)
     dcfg = D.DistillConfig(loss_scale_dmd=0.0)       # pure sCM phase
     cond = jax.random.normal(jax.random.PRNGKey(2), (1, 512, 4096),
@@ -210,7 +214,7 @@ def _run_scm(frames: int):
                                   (1, 16, t_lat, 60, 104))
     args = (teacher, teacher, batch_lat, cond, jax.random.PRNGKey(3))
     dt = _best(lambda *a: grad_step(*a), *args, n=2)
-    emit(f"scm_train_step_1.3b_480p_{frames}f", dt)
+    emit(f"scm_train_step_1.3b_480p_{frames}f", dt, remat=remat)
 
 
 CHILD_FNS = {
@@ -328,10 +332,17 @@ def main():
         if not ok:
             _emit_error(name, err)
 
-    # sCM train step: real 81f geometry first (VERDICT r2 #6), 33f fallback,
-    # then the pre-round-3 lax.map gather tangent as a last resort
-    for name, extra in (("scm81", None), ("scm33", None),
-                        ("scm33_nopallas", {"TDX_JVP_PALLAS_SPARSE": "0"})):
+    # sCM train step: real 81f geometry first (VERDICT r2 #6) at the only
+    # remat mode measured to fit one chip (full; ladder in _run_scm —
+    # VERDICT r4 #1), with an explicit remat=full retry in case a custom
+    # TDX_SCM_REMAT OOMs; then 33f, then the pre-round-3 lax.map gather
+    # tangent as a last resort.
+    scm_attempts = [("scm81", None)]
+    if os.environ.get("TDX_SCM_REMAT", "full") != "full":
+        scm_attempts.append(("scm81", {"TDX_SCM_REMAT": "full"}))
+    scm_attempts += [("scm33", None),
+                     ("scm33_nopallas", {"TDX_JVP_PALLAS_SPARSE": "0"})]
+    for name, extra in scm_attempts:
         ok, err = _run_child(name, extra)
         if ok:
             break

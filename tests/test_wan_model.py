@@ -187,3 +187,30 @@ def test_flf2v_state_dict_roundtrip():
     re = wan_params_from_state_dict(sd, cfg)
     np.testing.assert_allclose(np.asarray(re["img_emb"]["emb_pos"]),
                                np.asarray(params["img_emb"]["emb_pos"]))
+
+
+def test_remat_modes_match_gradients():
+    """All SAC modes (reference selective_activation_checkpoint.py:26-59)
+    must produce identical loss and gradients — remat changes what is saved,
+    never the math. Covers the new self_attn_only mode (r5)."""
+    import dataclasses
+    cfg = wan_test_config()
+    params = init_wan_params(jax.random.PRNGKey(0), cfg)
+    params["head"]["head"]["w"] = jnp.ones_like(
+        params["head"]["head"]["w"]) * 0.01
+    x, t, ctx = _tiny_inputs(cfg)
+
+    def make_loss(c):
+        def loss(p):
+            return jnp.mean(wan_forward(p, c, x, t, ctx) ** 2)
+        return loss
+
+    l0, g0 = jax.value_and_grad(make_loss(cfg))(params)
+    for mode in ("mm_only", "attn_only", "self_attn_only", "full"):
+        c = dataclasses.replace(cfg, remat=mode)
+        l1, g1 = jax.jit(jax.value_and_grad(make_loss(c)))(params)
+        np.testing.assert_allclose(float(l1), float(l0), rtol=1e-5)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6),
+            g0, g1)

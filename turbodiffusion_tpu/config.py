@@ -119,7 +119,8 @@ class WanConfig:
     # Compute dtype for the transformer trunk (norms/modulation stay fp32,
     # matching the reference's fp32 islands, wan2pt1.py:399-416,671-674).
     dtype: Any = jnp.bfloat16
-    # Rematerialization: "none" | "mm_only" | "block_wise"
+    # Rematerialization: "none" | "mm_only" | "attn_only" |
+    # "self_attn_only" | "block_wise"/"full"
     # (reference SAC modes, rcm/utils/selective_activation_checkpoint.py:26-59)
     remat: str = "none"
 

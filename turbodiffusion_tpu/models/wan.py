@@ -439,6 +439,14 @@ def wan_forward(params, cfg: WanConfig, x_B_C_T_H_W, timesteps_B_T,
         elif cfg.remat == "attn_only":
             policy = jax.checkpoint_policies.save_only_these_names(
                 "attn_out", "cross_out")
+        elif cfg.remat == "self_attn_only":
+            # saves only the sparse self-attention residual stream — the
+            # one expensive recompute; cross-attention (512 text tokens) and
+            # the int8 GEMMs replay cheaply. One (nblocks, B, L, D) stack
+            # less than attn_only: the margin that fits the 81f sCM step on
+            # a single 16 GB chip (attn_only needs 16.4 GB there).
+            policy = jax.checkpoint_policies.save_only_these_names(
+                "attn_out")
         else:
             policy = jax.checkpoint_policies.nothing_saveable
         block_fn = jax.checkpoint(block_fn, policy=policy)

@@ -72,8 +72,8 @@ def main():
                         "context-sharded (reference default: torchrun "
                         "FSDP+CP, scripts/train.py:50-82)")
     p.add_argument("--remat", default=None,
-                   choices=["none", "mm_only", "attn_only", "block_wise",
-                            "full"],
+                   choices=["none", "mm_only", "attn_only", "self_attn_only",
+                            "block_wise", "full"],
                    help="activation checkpointing (SAC analog, "
                         "selective_activation_checkpoint.py:26-59); "
                         "defaults to mm_only when --mesh shards params")
