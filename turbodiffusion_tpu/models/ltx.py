@@ -362,8 +362,14 @@ def ltx_forward(params, cfg: LTXConfig, video_tokens, audio_tokens,
     La = audio_tokens.shape[1]
     dt = cfg.dtype
 
+    # multi-chip: video tokens ride (data, context) like the Wan trunk
+    # (wan.py:403); audio is short — data-sharded only. constrain is a
+    # no-op without an active mesh (parallel/sharding.py:69).
+    from turbodiffusion_tpu.parallel.sharding import constrain
     vx = L.linear(params["patchify_proj"], video_tokens.astype(dt))
     ax = L.linear(params["audio_patchify_proj"], audio_tokens.astype(dt))
+    vx = constrain(vx, ("data", "context", None))
+    ax = constrain(ax, ("data", None, None))
 
     ts_mult = cfg.timestep_scale_multiplier
     vts, v_emb = adaln_single(params["adaln_single"],
@@ -412,6 +418,7 @@ def ltx_forward(params, cfg: LTXConfig, video_tokens, audio_tokens,
             blk, vx, ax, vts, ats, v_cts, a_cts, v_gts, a_gts, v_ctx, a_ctx,
             v_freqs, a_freqs, v_cross_freqs, a_cross_freqs, cfg,
             attn_cfg=None)
+        vx = constrain(vx, ("data", "context", None))
         return (vx, ax), None
 
     if per_layer:
