@@ -227,3 +227,45 @@ def test_every_n_draw_sample_param_pick():
     drawn.clear()
     cb.on_training_step_end(SimpleNamespace(), {}, 1)
     assert not drawn
+
+
+def test_dataset_tools_merge_and_visualize(tmp_path):
+    """merge_tar_shards / visualize_tar analogs
+    (rcm/datasets/merge_tar_shards.py, visualize_tar.py): re-shard small
+    tars losslessly and decode a latent shard through the VAE."""
+    from turbodiffusion_tpu.scripts.dataset_tools import main as tools
+    from turbodiffusion_tpu.training.data import (
+        iter_tar_samples, write_tar_shard)
+
+    small = tmp_path / "small"
+    small.mkdir()
+    rng = np.random.default_rng(0)
+    all_prompts = []
+    for s in range(3):
+        samples = []
+        for i in range(2):
+            p = f"prompt {s}-{i}"
+            all_prompts.append(p)
+            samples.append({
+                "latents": rng.normal(size=(16, 2, 4, 4)).astype(np.float32),
+                "prompts": p})
+        write_tar_shard(str(small / f"shard-{s:05d}.tar"), samples)
+
+    big = tmp_path / "big"
+    rc = tools(["merge", "--input_dir", str(small), "--output_dir",
+                str(big), "--target_shard_size", "4"])
+    assert rc == 0
+    shards = sorted(glob.glob(str(big / "*.tar")))
+    assert len(shards) == 2            # 6 samples at 4/shard -> 4 + 2
+    merged = [s for sh in shards for s in iter_tar_samples(sh)]
+    assert sorted(s["prompts"] for s in merged) == sorted(all_prompts)
+    assert merged[0]["latents"].shape == (16, 2, 4, 4)
+
+    viz = tmp_path / "viz"
+    rc = tools(["visualize", "--tar_path", shards[0], "--output_dir",
+                str(viz), "--max_samples", "1"])
+    assert rc == 0
+    vids = glob.glob(str(viz / "sample_0000.*"))
+    assert any(v.endswith((".mp4", ".npz", ".npy")) or ".frames" in v
+               for v in vids), vids
+    assert (viz / "sample_0000.txt").read_text().startswith("prompt")
