@@ -406,3 +406,82 @@ def test_sparse_fwd_wide_lut():
     for a, b, name in zip(gotb, refb, ("dq", "dk", "dv")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-3, err_msg=name)
+
+
+def test_sparse_vt_garbage_tail_cannot_collapse_rows():
+    """ADVICE r4: sequence-tail rows of the last K block are uninitialized
+    int8 in the packed panels. If such a row's score wins the running max by
+    >~126 log2 units, every live probability underflows and the output row
+    collapses to ~0. The kernels must exclude masked entries from the max
+    (NEG_INF-equivalent shift), so adversarial tail garbage changes nothing.
+
+    Poisons the tail with the worst case — +127 rows aligned with an
+    all-positive q (the maximum-possible int8 dot product) — and checks the
+    output is identical to the zero-tail panels."""
+    from turbodiffusion_tpu.ops.flash_pallas import (
+        quantize_v_per_channel, sparse_attention_i8_vt)
+    from turbodiffusion_tpu.ops.sla_fused import subquant_pack_kvt
+
+    B, H, D, bq, bk = 1, 1, 128, 128, 128
+    kv_len, Lp = 1000, 1024                   # tail: rows 1000..1023
+    nK = Lp // bk
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    # all-positive, large q -> a +127 garbage K row realizes the max dot
+    q = jnp.abs(jax.random.normal(ks[0], (B, H, Lp, D))) * 2.0
+    k = jax.random.normal(ks[1], (B, H, Lp, D)).at[:, :, kv_len:].set(0)
+    v = jax.random.normal(ks[2], (B, H, Lp, D)).at[:, :, kv_len:].set(0)
+
+    qmax = jnp.max(jnp.abs(q), axis=-1, keepdims=True)
+    qi = jnp.round(q / qmax * 127.0).astype(jnp.int8)
+    qs = (qmax / 127.0).astype(jnp.float32)
+
+    vi, vcs = quantize_v_per_channel(v.astype(jnp.bfloat16), kv_len)
+    mu = jnp.zeros((B, H, 1, D), jnp.float32)
+    kp, vtp, ksb = subquant_pack_kvt(k.astype(jnp.bfloat16), mu, vi, bk,
+                                     kv_len=kv_len, interpret=True)[:3]
+
+    # every block selected, the last (partial) block included
+    lut = jnp.broadcast_to(jnp.arange(nK, dtype=jnp.int32),
+                           (B, H, Lp // bq, nK))
+
+    def run(kp_, vtp_):
+        o = sparse_attention_i8_vt(qi, qs, kp_, vtp_, ksb, vcs, lut,
+                                   block_q=bq, block_k=bk, kv_len=kv_len,
+                                   interpret=True)
+        return np.asarray(o[:, :, :kv_len], np.float32)
+
+    clean = run(kp, vtp)
+    poisoned = run(kp.at[:, :, kv_len:].set(127),
+                   vtp.at[:, :, -1, :, kv_len % bk:].set(127))
+    assert np.abs(clean).max() > 1e-3          # sanity: live rows nonzero
+    np.testing.assert_allclose(poisoned, clean, rtol=0, atol=1e-6)
+
+
+def test_cross_attention_qout_fused_norm_matches_unfused():
+    """Fused full-dim q-RMSNorm inside cross_attention_qout (r5: deletes the
+    standalone norm pass + planes transpose) must match norm-then-kernel."""
+    from turbodiffusion_tpu.ops.flash_pallas import cross_attention_qout
+    from turbodiffusion_tpu.ops.fused_norm import rmsnorm_rope_ref
+
+    B, Lq, Lk, H, D = 1, 300, 77, 3, 128
+    HD = H * D
+    ks = jax.random.split(jax.random.PRNGKey(13), 4)
+    q_proj = jax.random.normal(ks[0], (B, Lq, HD), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (B, Lk, H, D), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (B, Lk, H, D), jnp.bfloat16)
+    nw = (1.0 + 0.2 * jax.random.normal(ks[3], (HD,))).astype(jnp.bfloat16)
+    eps = 1e-6
+
+    # reference: unfused norm (no rope) then the planes kernel
+    cos = jnp.ones((Lq, D), jnp.float32) * 0  # unused
+    qn = rmsnorm_rope_ref(q_proj, nw,
+                          jnp.ones((Lq, D), jnp.float32),
+                          jnp.zeros((Lq, D), jnp.float32), eps)
+    i8_ref_, sc_ref_ = cross_attention_qout(qn, k, v, interpret=True)
+    ref = np.asarray(i8_ref_, np.float32) * np.asarray(sc_ref_)
+
+    i8, sc = cross_attention_qout(q_proj, k, v, norm_w=nw, eps=eps,
+                                  interpret=True)
+    got = np.asarray(i8, np.float32) * np.asarray(sc)
+    err = np.abs(got - ref).max() / max(np.abs(ref).max(), 1e-6)
+    assert err < 0.02, err

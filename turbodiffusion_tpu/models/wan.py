@@ -180,9 +180,7 @@ def _cross_attention(p, x, context, cfg: WanConfig, img_context=None,
     xa = x[0] if _prequantized(x) else x
     B, Lx, D = xa.shape
     H, Dh = cfg.num_heads, cfg.head_dim
-    q = rmsnorm_rope(_lin_q(p["q"], x), p["norm_q"]["scale"],
-                     num_heads=H, eps=cfg.eps,
-                     force_ref=cfg.attention.jvp_mode)
+    q_proj = _lin_q(p["q"], x)
     # K/V over 512 text tokens are tiny; the jnp chain is fine.
     k = L.rms_norm(linear_maybe_quant(p["k"], context), p["norm_k"]["scale"], eps=cfg.eps)
     v = linear_maybe_quant(p["v"], context)
@@ -201,12 +199,19 @@ def _cross_attention(p, x, context, cfg: WanConfig, img_context=None,
             # back to the flash one-pass + unfold path)
             and H * Dh <= 2048
             and _os.environ.get("TDX_CROSS_QOUT", "1") == "1"):
-        # fused attention + per-token int8 O-feed: the unfold transpose and
-        # the standalone quantize_rows pass both disappear
+        # fused norm + attention + per-token int8 O-feed: the standalone
+        # q-norm pass, the q planes transpose, the unfold transpose and the
+        # standalone quantize_rows pass all disappear (the q norm+transpose
+        # alone were ~400 MB of HBM traffic per layer-call, r5 profile)
         from turbodiffusion_tpu.ops.flash_pallas import cross_attention_qout
         from turbodiffusion_tpu.ops.quant import int8_linear_prequant
-        xq8, rs = cross_attention_qout(q, k, v)
+        xq8, rs = cross_attention_qout(q_proj, k, v,
+                                       norm_w=p["norm_q"]["scale"],
+                                       eps=cfg.eps)
         return int8_linear_prequant(xq8, rs, p["o"], residual=residual)
+    q = rmsnorm_rope(q_proj, p["norm_q"]["scale"],
+                     num_heads=H, eps=cfg.eps,
+                     force_ref=cfg.attention.jvp_mode)
     o = dense_attention(q, k, v,
                         use_reference_impl=cfg.attention.use_reference_impl,
                         jvp_mode=cfg.attention.jvp_mode)

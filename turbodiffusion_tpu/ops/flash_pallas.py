@@ -134,16 +134,31 @@ def _attn_kernel_onepass(q_ref, k_ref, v_ref, o_ref, *, scale: float,
     o_ref[0] = (o / l).astype(o_ref.dtype)
 
 
-def _cross_attn_qout_kernel(q_ref, k_ref, v_ref, i8_ref, sc_ref, o_scr,
-                            *, scale: float, kv_len: int, H: int, Dh: int):
+def _cross_attn_qout_kernel(q_ref, *rest, scale: float, kv_len: int,
+                            H: int, Dh: int, eps: float = 0.0,
+                            fused_norm: bool = False):
     """All-heads single-KV-tile attention with per-token INT8 output.
 
-    q_ref (H, BQ, Dh) / k,v (H, Lkp, Dh) head planes; emits the O-projection
-    feed directly: (BQ, H*Dh) int8 rows + per-token fp32 scales — the
-    unfold transpose AND the standalone quantize_rows HBM round trip both
-    disappear (each cost a full (L, D) read+write per layer)."""
+    q_ref (H, BQ, Dh) head planes — or, with fused_norm, the RAW
+    (1, BQ, H*Dh) q-projection rows plus a (1, H*Dh) norm weight: the
+    full-dim RMSNorm runs in-kernel and heads are read via static lane
+    slices, deleting the standalone norm pass AND the (B, L, H, Dh) ->
+    planes transpose (each a full (L, D) HBM read+write per layer).
+    k, v stay (H, Lkp, Dh); emits the O-projection feed directly:
+    (BQ, H*Dh) int8 rows + per-token fp32 scales — the unfold transpose
+    AND the standalone quantize_rows HBM round trip both disappear."""
+    if fused_norm:
+        nw_ref, k_ref, v_ref, i8_ref, sc_ref, o_scr = rest
+        xf = q_ref[0].astype(jnp.float32)            # (BQ, H*Dh)
+        rms = jax.lax.rsqrt(
+            jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+        # match rmsnorm_rope_ref: fp32 stats, cast, weight mul in x.dtype
+        xn = ((xf * rms).astype(q_ref.dtype)
+              * nw_ref[0].astype(q_ref.dtype))
+    else:
+        k_ref, v_ref, i8_ref, sc_ref, o_scr = rest
     for h in range(H):
-        q = q_ref[h]
+        q = xn[:, h * Dh:(h + 1) * Dh] if fused_norm else q_ref[h]
         k = k_ref[h]
         v = v_ref[h]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
@@ -168,17 +183,28 @@ def _cross_attn_qout_kernel(q_ref, k_ref, v_ref, i8_ref, sc_ref, o_scr,
     sc_ref[0] = sc
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+@functools.partial(jax.jit, static_argnames=("scale", "interpret", "eps"))
 def cross_attention_qout(q, k, v, scale: Optional[float] = None,
-                         interpret: bool = False):
+                         interpret: bool = False, norm_w=None,
+                         eps: float = 1e-6):
     """Dense cross-attention (one K/V tile: 512 text tokens) fused with the
     per-token INT8 quantization of the O-projection input.
 
-    q: (B, Lq, H, Dh); k, v: (B, Lk, H, Dh). Returns
+    q: (B, Lq, H, Dh) pre-normed planes — or, with norm_w (H*Dh,) given,
+    the RAW (B, Lq, H*Dh) q-projection output: the full-dim RMSNorm and
+    the head unfold then run inside the kernel (no standalone norm pass,
+    no planes transpose — ~400 MB of HBM traffic per layer-call at the
+    1.3B headline geometry). k, v: (B, Lk, H, Dh). Returns
     (int8 (B, Lq, H*Dh), fp32 scales (B, Lq, 1)) for int8_linear_prequant.
     Scales are per token across ALL heads — identical numerics to
     quantize_rows_int8 on the unfolded output."""
-    B, Lq, H, Dh = q.shape
+    fused_norm = norm_w is not None
+    if fused_norm:
+        B, Lq, HD = q.shape
+        H, Dh = k.shape[2], k.shape[3]
+        assert H * Dh == HD, (q.shape, k.shape)
+    else:
+        B, Lq, H, Dh = q.shape
     Lk = k.shape[1]
     scale = Dh ** -0.5 if scale is None else float(scale)
     Lkp = _cdiv(Lk, 128) * 128
@@ -190,25 +216,39 @@ def cross_attention_qout(q, k, v, scale: Optional[float] = None,
         x = jnp.swapaxes(x, 1, 2).reshape(B * H, x.shape[1], Dh)
         return jnp.pad(x, ((0, 0), (0, lp - x.shape[1]), (0, 0)))
 
-    qf, kf, vf = fold(q, Lp), fold(k, Lkp), fold(v, Lkp)
+    kf, vf = fold(k, Lkp), fold(v, Lkp)
+    if fused_norm:
+        # no host-side pad: Pallas masks the partial last tile, and padding
+        # 32760 -> 32768 rows would copy the full 100 MB q plane (the r5
+        # profile's 19 ms of `pad`). Garbage tail rows produce garbage
+        # output rows that the (B, Lq, ·) out_shape never materializes.
+        qf = q
+        Lo = Lq
+        q_spec = pl.BlockSpec((1, BQ, H * Dh), lambda b, i: (b, i, 0))
+        extra_in = [norm_w.reshape(1, H * Dh).astype(q.dtype)]
+        extra_specs = [pl.BlockSpec((1, H * Dh), lambda b, i: (0, 0))]
+    else:
+        qf = fold(q, Lp)
+        Lo = Lp
+        q_spec = pl.BlockSpec((H, BQ, Dh), lambda b, i: (b, i, 0))
+        extra_in, extra_specs = [], []
     i8, sc = pl.pallas_call(
         functools.partial(_cross_attn_qout_kernel, scale=scale, kv_len=Lk,
-                          H=H, Dh=Dh),
+                          H=H, Dh=Dh, eps=eps, fused_norm=fused_norm),
         grid=(B, nQ),
-        in_specs=[
-            pl.BlockSpec((H, BQ, Dh), lambda b, i: (b, i, 0)),
+        in_specs=[q_spec] + extra_specs + [
             pl.BlockSpec((H, Lkp, Dh), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((H, Lkp, Dh), lambda b, i: (b, 0, 0)),
         ],
         out_specs=(pl.BlockSpec((1, BQ, H * Dh), lambda b, i: (b, i, 0)),
                    pl.BlockSpec((1, BQ, 1), lambda b, i: (b, i, 0))),
-        out_shape=(jax.ShapeDtypeStruct((B, Lp, H * Dh), jnp.int8),
-                   jax.ShapeDtypeStruct((B, Lp, 1), jnp.float32)),
+        out_shape=(jax.ShapeDtypeStruct((B, Lo, H * Dh), jnp.int8),
+                   jax.ShapeDtypeStruct((B, Lo, 1), jnp.float32)),
         scratch_shapes=[pltpu.VMEM((H, BQ, Dh), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
-    )(qf, kf, vf)
+    )(qf, *extra_in, kf, vf)
     return i8[:, :Lq], sc[:, :Lq]
 
 
@@ -550,7 +590,8 @@ def _sparse_attn_kernel_i8b(lut_hbm, q_ref, qs_ref, kv_hbm, ksc_ref,
     l = jnp.zeros((q_ref.shape[1], 1), jnp.float32)
     acc_scr[...] = jnp.zeros_like(acc_scr)
     qq = q_ref[0]                     # (BQ, D) int8
-    qsc = qs_ref[0]                   # (BQ, 1) fp32 scales (x softmax, log2e)
+    qsc = qs_ref[0]                   # (BQ, 1) fp32 RAW row scales
+    # (softmax scale + log2e ride the K block-scale table, see the wrapper)
     # (1, bk) within-block column iota, reused by every group's tail mask
     iota_bk = jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
 
@@ -574,11 +615,16 @@ def _sparse_attn_kernel_i8b(lut_hbm, q_ref, qs_ref, kv_hbm, ksc_ref,
         # Per-sub-block K scale + 0/1 validity, both (1, tile_k) ROWS: the
         # masking is hoisted out of the (bq, tile_k) plane (this loop is
         # VPU-bound, ~12 full-plane ops/element; the old iota/rem/compare
-        # select chain was 7 of them). Padded LUT entries and the sequence
-        # tail are zeroed multiplicatively AFTER the exp; their (finite,
-        # int8-bounded) scores still feed the row max, which is safe — a
-        # finite overestimate of m rescales p and l together and cancels
-        # in the o = acc/l finalize.
+        # select chain was 7 of them). Masked entries (padded LUT slots,
+        # sequence tail — the tail rows of the last K block are
+        # UNINITIALIZED int8 in the packed panel, so their scores can sit
+        # arbitrarily far above the live maximum) are pushed to -1e9 in s
+        # BEFORE the row max: a masked score that wins the max by >~126
+        # log2 units would underflow every live probability and collapse
+        # the row to ~0 (the 1e-20 clamp stops the NaN, not the collapse).
+        # The -1e9 shift is exact — exp2(-1e9 - m) flushes to +0 — so the
+        # old post-exp multiplicative zeroing is subsumed. Cost: one extra
+        # full-plane FMA per group.
         sc_parts, mk_parts = [], []
         for t in range(group):
             kb = _row_get(lut_ref, g * group + t)
@@ -591,9 +637,10 @@ def _sparse_attn_kernel_i8b(lut_hbm, q_ref, qs_ref, kv_hbm, ksc_ref,
         mrow = jnp.concatenate(mk_parts, axis=1)          # (1, tile_k) 0/1
 
         s = s32.astype(jnp.float32) * qsc * krow          # log2 domain
+        s = s * mrow + (mrow - 1.0) * 1e9     # masked -> -1e9 (|s| << 1e9)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         alpha = jnp.exp2(m - m_new)
-        p = jnp.exp2(s - m_new) * mrow
+        p = jnp.exp2(s - m_new)               # masked: exp2(~-1e9) == +0
         l_new = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
         # P stays bf16: int8 P (the sm90 trick) was A/B'd on-chip and LOSES
         # here — contracting over v's sublane dim at int8 pays a repack that
@@ -721,12 +768,19 @@ def _sparse_attn_kernel_i8b_vt(lut_hbm, q_ref, qs_ref, k_hbm, vt_hbm,
                               lut2_ref.at[slot], lut_sem.at[slot]).start()
 
     qq = q_ref[0]                    # (BQ, D) int8
-    qsc = qs_ref[0]                  # (BQ, 1) fp32 (x softmax scale x log2e)
+    qsc = qs_ref[0]                  # (BQ, 1) fp32 RAW row scales
+    # (softmax scale + log2e ride the K block-scale table, see the wrapper)
     s32 = jax.lax.dot_general(qq, kbuf[slot], (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.int32)
     s = s32.astype(jnp.float32) * qsc * krow          # log2 domain
+    # Sequence-tail rows of the last K block are uninitialized int8 in the
+    # packed panel — push them to -1e9 BEFORE the max so a garbage score
+    # can never win it and underflow the live rows (see the grouped
+    # kernel's comment); exp2(-1e9 - m) == +0 subsumes the old post-exp
+    # multiplicative zeroing.
+    s = s * mrow + (mrow - 1.0) * 1e9
     m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp2(s - m) * mrow
+    p = jnp.exp2(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
     pv = jax.lax.dot_general(p.astype(jnp.bfloat16),
                              vtbuf[slot].astype(jnp.bfloat16),
@@ -777,10 +831,16 @@ def sparse_attention_i8_vt(qi, qs, k_panel, vt_panel, k_block_scale,
     sel = lut.shape[-1]
 
     qi = qi.reshape(BH, Lp, D)
-    qs = qs.reshape(BH, Lp, 1) * (scale * LOG2E)
+    # qs stays RAW: a host-side qs * const materializes a (BH, Lp, 1) f32
+    # plane whose unit lane dim is tile-padded 128x — ~200 MB of HBM
+    # traffic per step at the headline geometry (18 ms/step measured, the
+    # r5 profile's multiply_bitcast_fusion). The softmax scale and log2e
+    # ride the (BH, 1, nK) K block-scale SMEM table instead — 512 bytes.
+    qs = qs.reshape(BH, Lp, 1)
     kp = k_panel.reshape(BH, Lkp, D)
     vtp = vt_panel.reshape(BH, nK, D, block_k)
-    ksc = k_block_scale.reshape(BH, 1, nK).astype(jnp.float32)
+    ksc = (k_block_scale.reshape(BH, 1, nK).astype(jnp.float32)
+           * (scale * LOG2E))
     vch = v_channel_scale.reshape(BH, 1, D).astype(jnp.float32)
 
     lut_flat = lut.reshape(BH, lut.shape[-2], sel).astype(jnp.int32)
@@ -792,7 +852,9 @@ def sparse_attention_i8_vt(qi, qs, k_panel, vt_panel, k_block_scale,
     lut_flat, lut_row = _lut_ring(lut_flat)
 
     lin = lin_kvw is not None
-    lin_inv = (1.0 / (scale * LOG2E)) if lin else None
+    # qs is raw (see above), so phi(q) recovery in the epilogue needs no
+    # un-scaling; lin_inv stays as the epilogue-enable flag
+    lin_inv = 1.0 if lin else None
     kernel = functools.partial(_sparse_attn_kernel_i8b_vt,
                                block_k=block_k, sel=sel, kv_len=kv_len,
                                lin_inv=lin_inv)
@@ -1093,7 +1155,12 @@ def sparse_attention_i8_planes(qi, qs, ki, ks, vi, vs, lut, *,
     n_groups = _cdiv(sel, GROUP)
 
     qi = qi.reshape(BH, Lp, D)
-    qs = qs.reshape(BH, Lp, 1) * scale              # fold softmax scale
+    qs = qs.reshape(BH, Lp, 1)
+    if k_block_scale is None:
+        qs = qs * scale              # fold softmax scale (fallback path);
+        # the blockscale path folds scale*log2e into the SMEM K table
+        # instead — see sparse_attention_i8_vt's comment on the 128x
+        # lane-padding cost of touching the (BH, Lp, 1) plane
 
     blockscale = k_block_scale is not None
     if blockscale:
@@ -1120,11 +1187,12 @@ def sparse_attention_i8_planes(qi, qs, ki, ks, vi, vs, lut, *,
 
     if blockscale:
         kvi = kvi_packed
-        qs = qs * LOG2E              # blockscale kernel runs exp2
         vch = v_channel_scale.reshape(BH, 1, D).astype(jnp.float32)
         # (BH, 1, nKb): SMEM blocks obey the same last-two-dims tiling rule
-        # (block dim == array dim), so keep a unit middle axis
-        ksc = k_block_scale.reshape(BH, 1, -1).astype(jnp.float32)
+        # (block dim == array dim), so keep a unit middle axis. softmax
+        # scale + log2e (the kernel runs exp2) fold here, not into qs.
+        ksc = (k_block_scale.reshape(BH, 1, -1).astype(jnp.float32)
+               * (scale * LOG2E))
 
         def kernel(lut_hbm, q_ref, qs_ref, kv_hbm, ksc_ref, vch_ref, o_ref,
                    kvbuf, sems, lut_ref, lut_sem, acc_scr):
