@@ -24,6 +24,7 @@ BASELINES = {
     # reference numbers (BASELINE.md; RTX 5090)
     "wan2.1_1.3b_480p_4step_denoise": 1.9,
     "wan2.1_14b_480p_4step_denoise": 9.9,
+    "wan2.1_14b_720p_4step_denoise": 24.0,
     "wan2.1_1.3b_720p_4step_denoise": 24.0 * 1.9 / 9.9,  # no 1.3B/720p ref;
     # scale the 14B 720p/480p ratio onto the 1.3B number for a comparable bar
     "wan2.1_1.3b_480p_vae_decode": None,   # excluded from the reference E2E
@@ -171,6 +172,25 @@ def _run_720p():
     emit("wan2.1_1.3b_720p_4step_denoise", dt)
 
 
+def _run_14b_720p():
+    """Wan2.1-14B at 720p (reference: 24 s, README.md:408-417). Also the
+    single-chip evidence for Wan2.2-I2V-A14B 720p (reference: 38 s,
+    README.md:214-219): the two i2v experts are architecturally identical
+    14B models that SPLIT the same 4 rCM steps at the 0.9 boundary
+    (wan2.2_i2v_infer.py:43,187-197), so one 14B 4-step 720p denoise IS the
+    i2v denoise cost; what it omits is the expert swap, which a single
+    16 GB chip must pay by re-uploading ~13.5 GB of int8 weights once
+    mid-generation (or by running resident two-expert on >= 2 chips — the
+    sharded residency budget is certified in test_sharded_pipeline.py)."""
+    from turbodiffusion_tpu.config import GenerationConfig
+    dt = _denoise_bench("Wan2.1-14B", GenerationConfig(resolution="720p"),
+                        quant=True, fuse_qkv=False, linear=True, n=1)
+    emit("wan2.1_14b_720p_4step_denoise", dt, frames=81,
+         i2v_a14b_note="= A14B i2v denoise cost (experts split the same "
+                       "4 steps); add one 13.5 GB int8 expert re-upload "
+                       "on a single chip")
+
+
 def _run_scm(frames: int):
     """sCM training step: teacher fwd (x2 CFG-free) + student JVP fwd +
     backward. Loss+grads only — a full fp32 Adam+EMA state for 1.3B
@@ -281,6 +301,7 @@ CHILD_FNS = {
         lambda: (os.environ.__setitem__("TDX_JVP_PALLAS_SPARSE", "0"),
                  _run_scm(33))[-1], 2400),
     "ltx": (_run_ltx_pair, 5400),
+    "14b_720p": (_run_14b_720p, 3600),
 }
 
 METRIC_OF = {
@@ -292,6 +313,7 @@ METRIC_OF = {
     "scm33": "scm_train_step_1.3b_480p_33f",
     "scm33_nopallas": "scm_train_step_1.3b_480p_33f",
     "ltx": "ltx2_19b_t2av_4step_generator",
+    "14b_720p": "wan2.1_14b_720p_4step_denoise",
 }
 
 
@@ -376,7 +398,7 @@ def main():
     if fast:
         return
 
-    for name in ("vae_decode", "14b", "720p", "ltx"):
+    for name in ("vae_decode", "14b", "720p", "14b_720p", "ltx"):
         ok, err = _run_child(name)
         if not ok:
             time.sleep(30)

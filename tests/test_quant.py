@@ -230,3 +230,49 @@ def test_ffn_chain_gate_residual_epilogue():
     np.testing.assert_allclose(np.asarray(fused),
                                np.asarray(base * gate[None, :] + res),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_weight_resident_gemms_match_tiled():
+    """r5 weight-resident GEMM variants (grid over M only, (K, N) weight in
+    VMEM — engaged at M>=4096 when the weight fits the budget) must match
+    the tiled kernels bit-for-bit-ish on both the qout (int8+scales out)
+    and blockact (per-K-block rescale) paths."""
+    import os
+    from turbodiffusion_tpu.ops.quant import (
+        int8_gemm_blockact_pallas, int8_gemm_postscale_qout_pallas)
+
+    M, K, N = 4608, 256, 896        # M >= 4096 engages the wres path
+    rng = np.random.default_rng(5)
+    xq = rng.integers(-127, 128, (M, K), dtype=np.int8)
+    rs = rng.random((M, 1), dtype=np.float32) * 0.01 + 0.001
+    wq = rng.integers(-127, 128, (K, N), dtype=np.int8)
+    cs = rng.random((N,), dtype=np.float32) * 0.01
+    b = rng.standard_normal((N,)).astype(np.float32)
+
+    def both(fn, *args, **kw):
+        os.environ["TDX_GEMM_WRES"] = "0"
+        try:
+            tiled = fn(*args, **kw)
+        finally:
+            os.environ["TDX_GEMM_WRES"] = "1"
+        wres = fn(*args, **kw)
+        return tiled, wres
+
+    (yt, st), (yw, sw) = both(
+        int8_gemm_postscale_qout_pallas, jnp.asarray(xq), jnp.asarray(rs),
+        jnp.asarray(wq), jnp.asarray(cs), bias=jnp.asarray(b),
+        act="gelu_tanh", has_bias=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(sw), np.asarray(st),
+                               rtol=1e-6, atol=0)
+    np.testing.assert_array_equal(np.asarray(yw), np.asarray(yt))
+
+    xs = rng.random((M, K // 128), dtype=np.float32) * 0.01
+    gate = rng.standard_normal((N,)).astype(np.float32)
+    res = rng.standard_normal((M, N)).astype(np.float32)
+    ot, ow = both(
+        int8_gemm_blockact_pallas, jnp.asarray(xq), jnp.asarray(xs),
+        jnp.asarray(wq), jnp.asarray(cs), bias=jnp.asarray(b),
+        act=None, has_bias=True, bk=128, out_dtype=jnp.float32,
+        gate=jnp.asarray(gate), residual=jnp.asarray(res), interpret=True)
+    np.testing.assert_allclose(np.asarray(ow), np.asarray(ot),
+                               rtol=1e-5, atol=1e-5)

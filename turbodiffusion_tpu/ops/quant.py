@@ -304,6 +304,81 @@ def _postscale_gemm_qout_kernel(xq_ref, wq_ref, rs_ref, cs_ref, bias_ref,
         os_ref[...] = scs_scr[...]
 
 
+_WRES_CAP = 24 * 1024 * 1024   # weight-resident VMEM budget (int8 bytes)
+
+
+def _wres_on() -> bool:
+    import os
+    return os.environ.get("TDX_GEMM_WRES", "1") != "0"
+
+
+def _qout_wres_kernel(xq_ref, wq_ref, rs_ref, cs_ref, bias_ref, o_ref,
+                      os_ref, *, n_n: int, BN: int, act: Optional[str],
+                      has_bias: bool):
+    """Weight-resident qout GEMM: the whole (K, N) int8 weight lives in
+    VMEM and the grid runs over M only, so weights stream from HBM ONCE per
+    GEMM instead of once per M-tile. At fc1's 1.3B shape (M=32760, K=1536,
+    N=8960, BM=512) the tiled kernel re-fetched the 13.1 MB weight 64x —
+    ~840 MB of pure weight traffic per call against a 1.15 ms compute
+    floor. N is walked with static lane slices inside the program."""
+    x = xq_ref[...]
+    scs = []
+    for n in range(n_n):
+        acc = jax.lax.dot_general(
+            x, wq_ref[:, n * BN:(n + 1) * BN], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        out = acc.astype(jnp.float32) * rs_ref[...] * \
+            cs_ref[0, n * BN:(n + 1) * BN][None, :]
+        if has_bias:
+            out = out + bias_ref[0, n * BN:(n + 1) * BN][None, :]
+        if act == "gelu_tanh":
+            out = jax.nn.gelu(out, approximate=True)
+        amax = jnp.max(jnp.abs(out), axis=-1, keepdims=True)
+        scale = jnp.maximum(amax, 1e-8) * (1.0 / INT8_MAX)
+        o_ref[:, n * BN:(n + 1) * BN] = jnp.round(
+            out * (1.0 / scale)).astype(jnp.int8)
+        scs.append(scale)
+    os_ref[...] = jnp.concatenate(scs, axis=1)
+
+
+def _qout_wres(xq, row_scale, wq, col_scale, bias, act, has_bias, BN,
+               interpret):
+    M, K = xq.shape
+    N = wq.shape[1]
+    n_n = N // BN
+    BM = min(512, max(8, M))
+    in_specs = [
+        pl.BlockSpec((BM, K), lambda m: (m, 0)),
+        pl.BlockSpec((K, N), lambda m: (0, 0)),
+        pl.BlockSpec((BM, 1), lambda m: (m, 0)),
+        pl.BlockSpec((1, N), lambda m: (0, 0)),
+    ]
+    args = [xq, wq, row_scale, col_scale.reshape(1, N)]
+    if has_bias:
+        in_specs.append(pl.BlockSpec((1, N), lambda m: (0, 0)))
+        args.append(bias.reshape(1, N).astype(jnp.float32))
+
+    def kernel(*refs):
+        bias_ref = refs[4] if has_bias else None
+        _qout_wres_kernel(refs[0], refs[1], refs[2], refs[3], bias_ref,
+                          refs[-2], refs[-1], n_n=n_n, BN=BN, act=act,
+                          has_bias=has_bias)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(_cdiv(M, BM),),
+        in_specs=in_specs,
+        out_specs=(pl.BlockSpec((BM, N), lambda m: (m, 0)),
+                   pl.BlockSpec((BM, n_n), lambda m: (m, 0))),
+        out_shape=(jax.ShapeDtypeStruct((M, N), jnp.int8),
+                   jax.ShapeDtypeStruct((M, n_n), jnp.float32)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+
+
 @functools.partial(jax.jit, static_argnames=("act", "has_bias", "interpret"))
 def int8_gemm_postscale_qout_pallas(xq, row_scale, wq, col_scale, bias=None,
                                     act: Optional[str] = None,
@@ -317,6 +392,9 @@ def int8_gemm_postscale_qout_pallas(xq, row_scale, wq, col_scale, bias=None,
     assert K % 128 == 0
     BN = _pick_bn_div(N)
     assert BN, f"N={N} has no lane-multiple divisor in [384, 1024]"
+    if K <= 2048 and K * N <= _WRES_CAP and M >= 4096 and _wres_on():
+        return _qout_wres(xq, row_scale, wq, col_scale, bias, act,
+                          has_bias, BN, interpret)
     # the epilogue holds an fp32 (BM, BN) temp next to the int32 acc — BM 512
     # keeps the worst case (BN 896 + double-buffered int8 ins) under the
     # 16 MB scoped-vmem limit
@@ -398,6 +476,83 @@ def _blockact_gemm_kernel(xq_ref, wq_ref, xs_ref, cs_ref, bias_ref,
         o_ref[...] = out.astype(o_ref.dtype)
 
 
+def _blockact_wres_kernel(xq_ref, wq_ref, xs_ref, cs_ref, bias_ref,
+                          gate_ref, res_ref, o_ref, *, n_k: int, bk: int,
+                          act: Optional[str], has_bias: bool):
+    """Weight-resident blockact GEMM (see _qout_wres_kernel): (K, N) weight
+    in VMEM, grid over M only, K walked with static slices — the per-K-block
+    activation scale is a static column slice of xs, no one-hot mask."""
+    acc = None
+    for kb in range(n_k):
+        prod = jax.lax.dot_general(
+            xq_ref[:, kb * bk:(kb + 1) * bk],
+            wq_ref[kb * bk:(kb + 1) * bk, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        term = prod.astype(jnp.float32) * xs_ref[:, kb:kb + 1]
+        acc = term if acc is None else acc + term
+    out = acc * cs_ref[0][None, :]
+    if has_bias:
+        out = out + bias_ref[0][None, :].astype(jnp.float32)
+    if act == "gelu_tanh":
+        out = jax.nn.gelu(out, approximate=True)
+    if gate_ref is not None:
+        out = out * gate_ref[0][None, :].astype(jnp.float32)
+    if res_ref is not None:
+        out = out + res_ref[...].astype(jnp.float32)
+    o_ref[...] = out.astype(o_ref.dtype)
+
+
+def _blockact_wres(xq, x_scale, wq, col_scale, bias, act, has_bias, bk,
+                   out_dtype, interpret, gate, residual):
+    M, K = xq.shape
+    N = wq.shape[1]
+    n_k = K // bk
+    BM = min(512, max(8, M))
+    in_specs = [
+        pl.BlockSpec((BM, K), lambda m: (m, 0)),
+        pl.BlockSpec((K, N), lambda m: (0, 0)),
+        pl.BlockSpec((BM, n_k), lambda m: (m, 0)),
+        pl.BlockSpec((1, N), lambda m: (0, 0)),
+    ]
+    args = [xq, wq, x_scale, col_scale.reshape(1, N)]
+    if has_bias:
+        in_specs.append(pl.BlockSpec((1, N), lambda m: (0, 0)))
+        args.append(bias.reshape(1, N).astype(jnp.float32))
+    has_gate = gate is not None
+    if has_gate:
+        in_specs.append(pl.BlockSpec((1, N), lambda m: (0, 0)))
+        args.append(gate.reshape(1, N).astype(jnp.float32))
+    has_res = residual is not None
+    if has_res:
+        in_specs.append(pl.BlockSpec((BM, N), lambda m: (m, 0)))
+        args.append(residual)
+
+    def kernel(*refs):
+        idx = 4
+        bias_ref = gate_ref = res_ref = None
+        if has_bias:
+            bias_ref = refs[idx]; idx += 1
+        if has_gate:
+            gate_ref = refs[idx]; idx += 1
+        if has_res:
+            res_ref = refs[idx]; idx += 1
+        _blockact_wres_kernel(refs[0], refs[1], refs[2], refs[3], bias_ref,
+                              gate_ref, res_ref, refs[idx], n_k=n_k, bk=bk,
+                              act=act, has_bias=has_bias)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(_cdiv(M, BM),),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((BM, N), lambda m: (m, 0)),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+
+
 @functools.partial(jax.jit, static_argnames=("act", "has_bias", "out_dtype",
                                               "interpret", "bk"))
 def int8_gemm_blockact_pallas(xq, x_scale, wq, col_scale, bias=None,
@@ -416,6 +571,10 @@ def int8_gemm_blockact_pallas(xq, x_scale, wq, col_scale, bias=None,
     N = wq.shape[1]
     assert K % bk == 0 and bk % 128 == 0
     n_k = K // bk
+    if K * N <= _WRES_CAP and M >= 4096 and _wres_on():
+        return _blockact_wres(xq, x_scale, wq, col_scale, bias, act,
+                              has_bias, bk, out_dtype, interpret, gate,
+                              residual)
     BM = min(1024, max(8, M))
     BN = min(512, N)
     grid = (_cdiv(M, BM), _cdiv(N, BN), n_k)
