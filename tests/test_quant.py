@@ -276,3 +276,36 @@ def test_weight_resident_gemms_match_tiled():
         gate=jnp.asarray(gate), residual=jnp.asarray(res), interpret=True)
     np.testing.assert_allclose(np.asarray(ow), np.asarray(ot),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_weight_resident_postscale_matches_tiled():
+    """The plain postscale GEMM's weight-resident path (QKV/O projections
+    at long-M inference) must match the tiled kernel."""
+    import os
+    from turbodiffusion_tpu.ops.quant import int8_gemm_postscale_pallas
+
+    M, K, N = 4608, 256, 640
+    rng = np.random.default_rng(9)
+    xq = rng.integers(-127, 128, (M, K), dtype=np.int8)
+    rs = rng.random((M, 1), dtype=np.float32) * 0.01 + 0.001
+    wq = rng.integers(-127, 128, (K, N), dtype=np.int8)
+    cs = rng.random((N,), dtype=np.float32) * 0.01
+    b = rng.standard_normal((N,)).astype(np.float32)
+    gate = rng.standard_normal((N,)).astype(np.float32)
+    res = rng.standard_normal((M, N)).astype(np.float32)
+
+    kw = dict(bias=jnp.asarray(b), act="gelu_tanh", has_bias=True,
+              out_dtype=jnp.float32, gate=jnp.asarray(gate),
+              residual=jnp.asarray(res), interpret=True)
+    os.environ["TDX_GEMM_WRES"] = "0"
+    try:
+        tiled = int8_gemm_postscale_pallas(
+            jnp.asarray(xq), jnp.asarray(rs), jnp.asarray(wq),
+            jnp.asarray(cs), **kw)
+    finally:
+        os.environ["TDX_GEMM_WRES"] = "1"
+    wres = int8_gemm_postscale_pallas(
+        jnp.asarray(xq), jnp.asarray(rs), jnp.asarray(wq),
+        jnp.asarray(cs), **kw)
+    np.testing.assert_allclose(np.asarray(wres), np.asarray(tiled),
+                               rtol=1e-5, atol=1e-5)

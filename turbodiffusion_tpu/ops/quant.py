@@ -198,6 +198,10 @@ def int8_gemm_postscale_pallas(xq, row_scale, wq, col_scale, bias=None,
     M, K = xq.shape
     N = wq.shape[1]
     assert K % 128 == 0, f"K={K} must be a lane multiple"
+    if K <= 2048 and K * N <= _WRES_CAP and M >= 4096 and _wres_on():
+        return _postscale_wres(xq, row_scale, wq, col_scale, bias, act,
+                               has_bias, out_dtype, interpret, gate,
+                               residual)
     BM = min(1024, max(8, M))
     BN = min(512, N)
     BK = _pick_bk(K)
@@ -310,6 +314,79 @@ _WRES_CAP = 24 * 1024 * 1024   # weight-resident VMEM budget (int8 bytes)
 def _wres_on() -> bool:
     import os
     return os.environ.get("TDX_GEMM_WRES", "1") != "0"
+
+
+def _postscale_wres(xq, row_scale, wq, col_scale, bias, act, has_bias,
+                    out_dtype, interpret, gate, residual):
+    """Weight-resident postscale GEMM (see _qout_wres_kernel's rationale):
+    whole (K, N) int8 weight in VMEM, grid over M only, N walked with
+    static lane slices. Engaged for the QKV/O/cross projections at long-M
+    inference shapes; the tiled kernel re-fetched their 2-7 MB weights
+    once per 1024-row M-tile."""
+    M, K = xq.shape
+    N = wq.shape[1]
+    BN = min(512, N)
+    assert N % BN == 0 or N == BN, (N, BN)
+    n_n = _cdiv(N, BN)
+    BM = min(512, max(8, M))
+    in_specs = [
+        pl.BlockSpec((BM, K), lambda m: (m, 0)),
+        pl.BlockSpec((K, N), lambda m: (0, 0)),
+        pl.BlockSpec((BM, 1), lambda m: (m, 0)),
+        pl.BlockSpec((1, N), lambda m: (0, 0)),
+    ]
+    args = [xq, wq, row_scale, col_scale.reshape(1, N)]
+    if has_bias:
+        in_specs.append(pl.BlockSpec((1, N), lambda m: (0, 0)))
+        args.append(bias.reshape(1, N).astype(jnp.float32))
+    has_gate = gate is not None
+    if has_gate:
+        in_specs.append(pl.BlockSpec((1, N), lambda m: (0, 0)))
+        args.append(gate.reshape(1, N).astype(jnp.float32))
+    has_res = residual is not None
+    if has_res:
+        in_specs.append(pl.BlockSpec((BM, N), lambda m: (m, 0)))
+        args.append(residual)
+
+    def kernel(*refs):
+        idx = 4
+        bias_ref = gate_ref = res_ref = None
+        if has_bias:
+            bias_ref = refs[idx]; idx += 1
+        if has_gate:
+            gate_ref = refs[idx]; idx += 1
+        if has_res:
+            res_ref = refs[idx]; idx += 1
+        o_ref = refs[idx]
+        x = refs[0][...]
+        for n in range(n_n):
+            lo, hi = n * BN, min((n + 1) * BN, N)
+            acc = jax.lax.dot_general(
+                x, refs[1][:, lo:hi], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            out = acc.astype(jnp.float32) * refs[2][...] * \
+                refs[3][0, lo:hi][None, :]
+            if has_bias:
+                out = out + bias_ref[0, lo:hi][None, :]
+            if act == "gelu_tanh":
+                out = jax.nn.gelu(out, approximate=True)
+            if gate_ref is not None:
+                out = out * gate_ref[0, lo:hi][None, :]
+            if res_ref is not None:
+                out = out + res_ref[:, lo:hi].astype(jnp.float32)
+            o_ref[:, lo:hi] = out.astype(o_ref.dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(_cdiv(M, BM),),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((BM, N), lambda m: (m, 0)),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
 
 
 def _qout_wres_kernel(xq_ref, wq_ref, rs_ref, cs_ref, bias_ref, o_ref,
