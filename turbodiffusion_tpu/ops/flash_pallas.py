@@ -43,6 +43,16 @@ NEG_INF = -1e30
 LOG2E = 1.4426950408889634  # fold into scales so kernels run exp2, not exp
 
 
+def _row_scales(qs, BH, Lp):
+    """Per-row scales in row-major (BH, 1, Lp) f32 for (1, 1, BQ) kernel
+    blocks. Accepts head_planes' native (B, H, Lp) layout or the legacy
+    (B, H, Lp, 1) column layout (whose unit lane dim tile-pads 128x in
+    HBM — the reason row-major is the wire format)."""
+    if qs.ndim == 4:
+        qs = qs[..., 0]
+    return qs.reshape(BH, 1, Lp).astype(jnp.float32)
+
+
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
@@ -590,8 +600,9 @@ def _sparse_attn_kernel_i8b(lut_hbm, q_ref, qs_ref, kv_hbm, ksc_ref,
     l = jnp.zeros((q_ref.shape[1], 1), jnp.float32)
     acc_scr[...] = jnp.zeros_like(acc_scr)
     qq = q_ref[0]                     # (BQ, D) int8
-    qsc = qs_ref[0]                   # (BQ, 1) fp32 RAW row scales
+    # row-major (1, 1, BQ) scale stripe -> (BQ, 1) broadcast shape
     # (softmax scale + log2e ride the K block-scale table, see the wrapper)
+    qsc = qs_ref[0].reshape(qs_ref.shape[-1], 1)
     # (1, bk) within-block column iota, reused by every group's tail mask
     iota_bk = jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
 
@@ -768,8 +779,10 @@ def _sparse_attn_kernel_i8b_vt(lut_hbm, q_ref, qs_ref, k_hbm, vt_hbm,
                               lut2_ref.at[slot], lut_sem.at[slot]).start()
 
     qq = q_ref[0]                    # (BQ, D) int8
-    qsc = qs_ref[0]                  # (BQ, 1) fp32 RAW row scales
-    # (softmax scale + log2e ride the K block-scale table, see the wrapper)
+    # qs block is a row-major (1, 1, BQ) stripe — transpose the 512 values
+    # to the (BQ, 1) broadcast shape on-register (softmax scale + log2e
+    # ride the K block-scale table, see the wrapper)
+    qsc = qs_ref[0].reshape(qs_ref.shape[-1], 1)
     s32 = jax.lax.dot_general(qq, kbuf[slot], (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.int32)
     s = s32.astype(jnp.float32) * qsc * krow          # log2 domain
@@ -836,7 +849,9 @@ def sparse_attention_i8_vt(qi, qs, k_panel, vt_panel, k_block_scale,
     # traffic per step at the headline geometry (18 ms/step measured, the
     # r5 profile's multiply_bitcast_fusion). The softmax scale and log2e
     # ride the (BH, 1, nK) K block-scale SMEM table instead — 512 bytes.
-    qs = qs.reshape(BH, Lp, 1)
+    # Row-major (B, H, Lp) [head_planes' native layout] is used as-is;
+    # legacy (B, H, Lp, 1) callers are squeezed.
+    qs = _row_scales(qs, BH, Lp)
     kp = k_panel.reshape(BH, Lkp, D)
     vtp = vt_panel.reshape(BH, nK, D, block_k)
     ksc = (k_block_scale.reshape(BH, 1, nK).astype(jnp.float32)
@@ -862,7 +877,7 @@ def sparse_attention_i8_vt(qi, qs, k_panel, vt_panel, k_block_scale,
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),              # LUT
         q_spec,
-        pl.BlockSpec((1, block_q, 1), lambda bh, i: (bh, i, 0)),
+        pl.BlockSpec((1, 1, block_q), lambda bh, i: (bh, 0, i)),
         pl.BlockSpec(memory_space=pl.ANY),              # K panel (HBM)
         pl.BlockSpec(memory_space=pl.ANY),              # VT panel (HBM)
         pl.BlockSpec((1, 1, nK), lambda bh, i: (bh, 0, 0),
@@ -1155,12 +1170,16 @@ def sparse_attention_i8_planes(qi, qs, ki, ks, vi, vs, lut, *,
     n_groups = _cdiv(sel, GROUP)
 
     qi = qi.reshape(BH, Lp, D)
-    qs = qs.reshape(BH, Lp, 1)
     if k_block_scale is None:
-        qs = qs * scale              # fold softmax scale (fallback path);
-        # the blockscale path folds scale*log2e into the SMEM K table
-        # instead — see sparse_attention_i8_vt's comment on the 128x
-        # lane-padding cost of touching the (BH, Lp, 1) plane
+        # fallback path: legacy (BH, Lp, 1) column scales, softmax scale
+        # folded here; the blockscale path keeps qs row-major and folds
+        # scale*log2e into the SMEM K table instead (see
+        # sparse_attention_i8_vt's comment on the 128x lane-padding cost)
+        if qs.ndim == 3:
+            qs = qs[..., None]
+        qs = qs.reshape(BH, Lp, 1) * scale
+    else:
+        qs = _row_scales(qs, BH, Lp)
 
     blockscale = k_block_scale is not None
     if blockscale:
@@ -1208,7 +1227,7 @@ def sparse_attention_i8_planes(qi, qs, ki, ks, vi, vs, lut, *,
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),              # LUT
                 q_spec,
-                pl.BlockSpec((1, block_q, 1), lambda bh, i: (bh, i, 0)),
+                pl.BlockSpec((1, 1, block_q), lambda bh, i: (bh, 0, i)),
                 pl.BlockSpec(memory_space=pl.ANY),              # K|V (HBM)
                 pl.BlockSpec((1, 1, ksc.shape[2]),
                              lambda bh, i: (bh, 0, 0),

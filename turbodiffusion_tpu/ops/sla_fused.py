@@ -123,7 +123,11 @@ def _head_planes_kernel(refs, *, H: int, Dh: int, eps: float, L: int,
             amax = jnp.max(jnp.abs(yf), axis=-1, keepdims=True)
             scale = jnp.maximum(amax, 1e-8) * (1.0 / INT8_MAX)
             i8_ref[0, h] = jnp.round(yf * (1.0 / scale)).astype(jnp.int8)
-            sc_ref[0, h] = scale
+            # row-major scale layout (B, H, Lp): a (…, Lp, 1) f32 output
+            # lane-pads 128x in HBM — 320 MB of pure padding per output at
+            # the 14B head count (the r5 honest-config OOM); the (TL,1) ->
+            # (TL,) relayout here is 512 values on-register
+            sc_ref[0, h] = scale.reshape(TL)
         if pool:
             # where, not multiply: out-of-range rows may read NaN garbage
             seg = jnp.where(valid > 0, yf, 0.0).reshape(TL // pool, pool, Dh)
@@ -146,7 +150,7 @@ def head_planes(x, weight=None, cos_full=None, sin_full=None, *,
     Returns a dict with keys among:
       bf16   (B, H, Lp, Dh)  x.dtype
       i8     (B, H, Lp, Dh)  int8, per-(head,token) symmetric
-      scale  (B, H, Lp, 1)   fp32
+      scale  (B, H, Lp)      fp32 row-major (no (…,1) lane padding)
       pooled (B, H, ceil(L/pool), Dh) fp32 masked block means
 
     Rows in [L, Lp) are unwritten garbage — consumers mask them (the sparse
@@ -204,8 +208,8 @@ def head_planes(x, weight=None, cos_full=None, sin_full=None, *,
         out_specs.append(pl.BlockSpec((1, H, TL, Dh), lambda b, i: (b, 0, i, 0)))
         out_shapes.append(jax.ShapeDtypeStruct((B, H, Lp, Dh), jnp.int8))
         keys.append("i8")
-        out_specs.append(pl.BlockSpec((1, H, TL, 1), lambda b, i: (b, 0, i, 0)))
-        out_shapes.append(jax.ShapeDtypeStruct((B, H, Lp, 1), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, H, TL), lambda b, i: (b, 0, i)))
+        out_shapes.append(jax.ShapeDtypeStruct((B, H, Lp), jnp.float32))
         keys.append("scale")
     if pool:
         # allocate to the padded block count — a tail block straddling nP
@@ -258,7 +262,7 @@ def head_planes_ref(x, weight=None, cos_full=None, sin_full=None, *,
     amax = jnp.max(jnp.abs(yf), axis=-1, keepdims=True)
     scale = jnp.maximum(amax, 1e-8) / INT8_MAX
     out["i8"] = jnp.round(yf / scale).astype(jnp.int8)
-    out["scale"] = scale
+    out["scale"] = scale[..., 0]
     if pool:
         nP = _cdiv(L, pool)
         pad = nP * pool - L
