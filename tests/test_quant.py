@@ -309,3 +309,52 @@ def test_weight_resident_postscale_matches_tiled():
         jnp.asarray(cs), **kw)
     np.testing.assert_allclose(np.asarray(wres), np.asarray(tiled),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_weight_resident_grouped_n(monkeypatch):
+    """Multi-group wres path (n_g > 1, the 14B shapes): shrink the VMEM cap
+    so grouping engages at test size, including a ragged last group."""
+    import turbodiffusion_tpu.ops.quant as Q
+
+    M, K, N = 4224, 256, 1152      # BN=512 -> 3 chunks; ragged group tail
+    monkeypatch.setattr(Q, "_WRES_CAP", K * 512)   # 1 chunk per group
+    rng = np.random.default_rng(11)
+    xq = rng.integers(-127, 128, (M, K), dtype=np.int8)
+    rs = rng.random((M, 1), dtype=np.float32) * 0.01 + 0.001
+    wq = rng.integers(-127, 128, (K, N), dtype=np.int8)
+    cs = rng.random((N,), dtype=np.float32) * 0.01
+    res = rng.standard_normal((M, N)).astype(np.float32)
+
+    wres = Q.int8_gemm_postscale_pallas(
+        jnp.asarray(xq), jnp.asarray(rs), jnp.asarray(wq), jnp.asarray(cs),
+        out_dtype=jnp.float32, residual=jnp.asarray(res), interpret=True)
+    ref = (np.asarray(xq, np.int32) @ np.asarray(wq, np.int32)
+           ).astype(np.float32) * rs * cs[None, :] + res
+    np.testing.assert_allclose(np.asarray(wres), ref, rtol=1e-5, atol=1e-4)
+
+    xs = rng.random((M, K // 128), dtype=np.float32) * 0.01
+    wres_b = Q.int8_gemm_blockact_pallas(
+        jnp.asarray(xq), jnp.asarray(xs), jnp.asarray(wq), jnp.asarray(cs),
+        bk=128, out_dtype=jnp.float32, interpret=True)
+    acc = np.zeros((M, N), np.float32)
+    for kb in range(K // 128):
+        acc += (np.asarray(xq[:, kb*128:(kb+1)*128], np.int32)
+                @ np.asarray(wq[kb*128:(kb+1)*128], np.int32)
+                ).astype(np.float32) * xs[:, kb:kb+1]
+    np.testing.assert_allclose(np.asarray(wres_b), acc * cs[None, :],
+                               rtol=1e-5, atol=1e-4)
+
+    # qout with N=896*2 chunks split across groups
+    N2 = 1792
+    wq2 = rng.integers(-127, 128, (K, N2), dtype=np.int8)
+    cs2 = rng.random((N2,), dtype=np.float32) * 0.01
+    monkeypatch.setattr(Q, "_WRES_CAP", K * 896)
+    y8, ysc = Q.int8_gemm_postscale_qout_pallas(
+        jnp.asarray(xq), jnp.asarray(rs), jnp.asarray(wq2),
+        jnp.asarray(cs2), interpret=True)
+    deq = np.asarray(y8, np.float32).reshape(M, 2, 896) * \
+        np.asarray(ysc)[:, :, None]
+    full = (np.asarray(xq, np.int32) @ np.asarray(wq2, np.int32)
+            ).astype(np.float32) * rs * cs2[None, :]
+    np.testing.assert_allclose(deq.reshape(M, N2), full,
+                               rtol=0.02, atol=np.abs(full).max() * 0.02)

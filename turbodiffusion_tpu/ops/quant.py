@@ -198,7 +198,7 @@ def int8_gemm_postscale_pallas(xq, row_scale, wq, col_scale, bias=None,
     M, K = xq.shape
     N = wq.shape[1]
     assert K % 128 == 0, f"K={K} must be a lane multiple"
-    if K <= 2048 and K * N <= _WRES_CAP and M >= 4096 and _wres_on():
+    if M >= 4096 and _wres_on():
         return _postscale_wres(xq, row_scale, wq, col_scale, bias, act,
                                has_bias, out_dtype, interpret, gate,
                                residual)
@@ -319,33 +319,33 @@ def _wres_on() -> bool:
 def _postscale_wres(xq, row_scale, wq, col_scale, bias, act, has_bias,
                     out_dtype, interpret, gate, residual):
     """Weight-resident postscale GEMM (see _qout_wres_kernel's rationale):
-    whole (K, N) int8 weight in VMEM, grid over M only, N walked with
-    static lane slices. Engaged for the QKV/O/cross projections at long-M
-    inference shapes; the tiled kernel re-fetched their 2-7 MB weights
-    once per 1024-row M-tile."""
+    (K, NG) weight groups in VMEM, grid (group, M-tile) with the group
+    OUTER so each weight group streams once per GEMM; N walked with static
+    lane slices. Engaged for the QKV/O/cross projections at long-M
+    inference shapes; the tiled kernel re-fetched the weights once per
+    1024-row M-tile (at 14B: 78 MB x 32 tiles = 2.5 GB per QKV call)."""
     M, K = xq.shape
     N = wq.shape[1]
     BN = min(512, N)
-    assert N % BN == 0 or N == BN, (N, BN)
-    n_n = _cdiv(N, BN)
+    n_g, nn_g, NG = _wres_groups(K, N, BN)
     BM = min(512, max(8, M))
     in_specs = [
-        pl.BlockSpec((BM, K), lambda m: (m, 0)),
-        pl.BlockSpec((K, N), lambda m: (0, 0)),
-        pl.BlockSpec((BM, 1), lambda m: (m, 0)),
-        pl.BlockSpec((1, N), lambda m: (0, 0)),
+        pl.BlockSpec((BM, K), lambda g, m: (m, 0)),
+        pl.BlockSpec((K, NG), lambda g, m: (0, g)),
+        pl.BlockSpec((BM, 1), lambda g, m: (m, 0)),
+        pl.BlockSpec((1, NG), lambda g, m: (0, g)),
     ]
     args = [xq, wq, row_scale, col_scale.reshape(1, N)]
     if has_bias:
-        in_specs.append(pl.BlockSpec((1, N), lambda m: (0, 0)))
+        in_specs.append(pl.BlockSpec((1, NG), lambda g, m: (0, g)))
         args.append(bias.reshape(1, N).astype(jnp.float32))
     has_gate = gate is not None
     if has_gate:
-        in_specs.append(pl.BlockSpec((1, N), lambda m: (0, 0)))
+        in_specs.append(pl.BlockSpec((1, NG), lambda g, m: (0, g)))
         args.append(gate.reshape(1, N).astype(jnp.float32))
     has_res = residual is not None
     if has_res:
-        in_specs.append(pl.BlockSpec((BM, N), lambda m: (m, 0)))
+        in_specs.append(pl.BlockSpec((BM, NG), lambda g, m: (m, g)))
         args.append(residual)
 
     def kernel(*refs):
@@ -359,8 +359,8 @@ def _postscale_wres(xq, row_scale, wq, col_scale, bias, act, has_bias,
             res_ref = refs[idx]; idx += 1
         o_ref = refs[idx]
         x = refs[0][...]
-        for n in range(n_n):
-            lo, hi = n * BN, min((n + 1) * BN, N)
+        for n in range(nn_g):
+            lo, hi = n * BN, (n + 1) * BN
             acc = jax.lax.dot_general(
                 x, refs[1][:, lo:hi], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)
@@ -378,29 +378,31 @@ def _postscale_wres(xq, row_scale, wq, col_scale, bias, act, has_bias,
 
     return pl.pallas_call(
         kernel,
-        grid=(_cdiv(M, BM),),
+        grid=(n_g, _cdiv(M, BM)),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((BM, N), lambda m: (m, 0)),
+        out_specs=pl.BlockSpec((BM, NG), lambda g, m: (m, g)),
         out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*args)
 
-
 def _qout_wres_kernel(xq_ref, wq_ref, rs_ref, cs_ref, bias_ref, o_ref,
-                      os_ref, *, n_n: int, BN: int, act: Optional[str],
+                      os_ref, *, nn_g: int, BN: int, act: Optional[str],
                       has_bias: bool):
-    """Weight-resident qout GEMM: the whole (K, N) int8 weight lives in
-    VMEM and the grid runs over M only, so weights stream from HBM ONCE per
-    GEMM instead of once per M-tile. At fc1's 1.3B shape (M=32760, K=1536,
-    N=8960, BM=512) the tiled kernel re-fetched the 13.1 MB weight 64x —
-    ~840 MB of pure weight traffic per call against a 1.15 ms compute
-    floor. N is walked with static lane slices inside the program."""
+    """Weight-resident qout GEMM: an (K, NG) weight GROUP lives in VMEM and
+    the grid runs (group, M-tile) with the group dim OUTER, so each weight
+    group streams from HBM once per GEMM — consecutive M-tiles revisit the
+    same block and Pallas skips the copy. At fc1's 1.3B shape (M=32760,
+    K=1536, N=8960, BM=512) the old tiled kernel re-fetched the 13.1 MB
+    weight 64x (~840 MB of weight traffic against a 1.15 ms compute floor);
+    at the 14B shapes (70+ MB weights) the groups keep the working set
+    under the VMEM cap while x re-streams only n_g times. N is walked with
+    static lane slices inside the program."""
     x = xq_ref[...]
     scs = []
-    for n in range(n_n):
+    for n in range(nn_g):
         acc = jax.lax.dot_general(
             x, wq_ref[:, n * BN:(n + 1) * BN], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)
@@ -418,39 +420,50 @@ def _qout_wres_kernel(xq_ref, wq_ref, rs_ref, cs_ref, bias_ref, o_ref,
     os_ref[...] = jnp.concatenate(scs, axis=1)
 
 
+def _wres_groups(K: int, N: int, BN: int):
+    """(n_g, nn_g, NG): split N into n_g groups of nn_g BN-chunks so one
+    (K, NG) int8 weight group fits the VMEM budget. The last group may
+    overhang N — Pallas masks the out-of-bounds block region."""
+    n_n = _cdiv(N, BN)
+    nn_g = max(1, min(n_n, _WRES_CAP // (K * BN)))
+    n_g = _cdiv(n_n, nn_g)
+    return n_g, nn_g, nn_g * BN
+
+
 def _qout_wres(xq, row_scale, wq, col_scale, bias, act, has_bias, BN,
                interpret):
     M, K = xq.shape
     N = wq.shape[1]
     n_n = N // BN
+    n_g, nn_g, NG = _wres_groups(K, N, BN)
     BM = min(512, max(8, M))
     in_specs = [
-        pl.BlockSpec((BM, K), lambda m: (m, 0)),
-        pl.BlockSpec((K, N), lambda m: (0, 0)),
-        pl.BlockSpec((BM, 1), lambda m: (m, 0)),
-        pl.BlockSpec((1, N), lambda m: (0, 0)),
+        pl.BlockSpec((BM, K), lambda g, m: (m, 0)),
+        pl.BlockSpec((K, NG), lambda g, m: (0, g)),
+        pl.BlockSpec((BM, 1), lambda g, m: (m, 0)),
+        pl.BlockSpec((1, NG), lambda g, m: (0, g)),
     ]
     args = [xq, wq, row_scale, col_scale.reshape(1, N)]
     if has_bias:
-        in_specs.append(pl.BlockSpec((1, N), lambda m: (0, 0)))
+        in_specs.append(pl.BlockSpec((1, NG), lambda g, m: (0, g)))
         args.append(bias.reshape(1, N).astype(jnp.float32))
 
     def kernel(*refs):
         bias_ref = refs[4] if has_bias else None
         _qout_wres_kernel(refs[0], refs[1], refs[2], refs[3], bias_ref,
-                          refs[-2], refs[-1], n_n=n_n, BN=BN, act=act,
+                          refs[-2], refs[-1], nn_g=nn_g, BN=BN, act=act,
                           has_bias=has_bias)
 
     return pl.pallas_call(
         kernel,
-        grid=(_cdiv(M, BM),),
+        grid=(n_g, _cdiv(M, BM)),
         in_specs=in_specs,
-        out_specs=(pl.BlockSpec((BM, N), lambda m: (m, 0)),
-                   pl.BlockSpec((BM, n_n), lambda m: (m, 0))),
+        out_specs=(pl.BlockSpec((BM, NG), lambda g, m: (m, g)),
+                   pl.BlockSpec((BM, nn_g), lambda g, m: (m, g))),
         out_shape=(jax.ShapeDtypeStruct((M, N), jnp.int8),
                    jax.ShapeDtypeStruct((M, n_n), jnp.float32)),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*args)
@@ -469,7 +482,7 @@ def int8_gemm_postscale_qout_pallas(xq, row_scale, wq, col_scale, bias=None,
     assert K % 128 == 0
     BN = _pick_bn_div(N)
     assert BN, f"N={N} has no lane-multiple divisor in [384, 1024]"
-    if K <= 2048 and K * N <= _WRES_CAP and M >= 4096 and _wres_on():
+    if M >= 4096 and _wres_on():
         return _qout_wres(xq, row_scale, wq, col_scale, bias, act,
                           has_bias, BN, interpret)
     # the epilogue holds an fp32 (BM, BN) temp next to the int32 acc — BM 512
@@ -556,9 +569,10 @@ def _blockact_gemm_kernel(xq_ref, wq_ref, xs_ref, cs_ref, bias_ref,
 def _blockact_wres_kernel(xq_ref, wq_ref, xs_ref, cs_ref, bias_ref,
                           gate_ref, res_ref, o_ref, *, n_k: int, bk: int,
                           act: Optional[str], has_bias: bool):
-    """Weight-resident blockact GEMM (see _qout_wres_kernel): (K, N) weight
-    in VMEM, grid over M only, K walked with static slices — the per-K-block
-    activation scale is a static column slice of xs, no one-hot mask."""
+    """Weight-resident blockact GEMM (see _qout_wres_kernel): a (K, NG)
+    weight group in VMEM, grid (group, M-tile) with the group OUTER, K
+    walked with static slices — the per-K-block activation scale is a
+    static column slice of xs, no one-hot mask."""
     acc = None
     for kb in range(n_k):
         prod = jax.lax.dot_general(
@@ -584,24 +598,25 @@ def _blockact_wres(xq, x_scale, wq, col_scale, bias, act, has_bias, bk,
     M, K = xq.shape
     N = wq.shape[1]
     n_k = K // bk
+    n_g, _, NG = _wres_groups(K, N, 128)
     BM = min(512, max(8, M))
     in_specs = [
-        pl.BlockSpec((BM, K), lambda m: (m, 0)),
-        pl.BlockSpec((K, N), lambda m: (0, 0)),
-        pl.BlockSpec((BM, n_k), lambda m: (m, 0)),
-        pl.BlockSpec((1, N), lambda m: (0, 0)),
+        pl.BlockSpec((BM, K), lambda g, m: (m, 0)),
+        pl.BlockSpec((K, NG), lambda g, m: (0, g)),
+        pl.BlockSpec((BM, n_k), lambda g, m: (m, 0)),
+        pl.BlockSpec((1, NG), lambda g, m: (0, g)),
     ]
     args = [xq, wq, x_scale, col_scale.reshape(1, N)]
     if has_bias:
-        in_specs.append(pl.BlockSpec((1, N), lambda m: (0, 0)))
+        in_specs.append(pl.BlockSpec((1, NG), lambda g, m: (0, g)))
         args.append(bias.reshape(1, N).astype(jnp.float32))
     has_gate = gate is not None
     if has_gate:
-        in_specs.append(pl.BlockSpec((1, N), lambda m: (0, 0)))
+        in_specs.append(pl.BlockSpec((1, NG), lambda g, m: (0, g)))
         args.append(gate.reshape(1, N).astype(jnp.float32))
     has_res = residual is not None
     if has_res:
-        in_specs.append(pl.BlockSpec((BM, N), lambda m: (m, 0)))
+        in_specs.append(pl.BlockSpec((BM, NG), lambda g, m: (m, g)))
         args.append(residual)
 
     def kernel(*refs):
@@ -619,12 +634,12 @@ def _blockact_wres(xq, x_scale, wq, col_scale, bias, act, has_bias, bk,
 
     return pl.pallas_call(
         kernel,
-        grid=(_cdiv(M, BM),),
+        grid=(n_g, _cdiv(M, BM)),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((BM, N), lambda m: (m, 0)),
+        out_specs=pl.BlockSpec((BM, NG), lambda g, m: (m, g)),
         out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*args)
@@ -648,7 +663,7 @@ def int8_gemm_blockact_pallas(xq, x_scale, wq, col_scale, bias=None,
     N = wq.shape[1]
     assert K % bk == 0 and bk % 128 == 0
     n_k = K // bk
-    if K * N <= _WRES_CAP and M >= 4096 and _wres_on():
+    if M >= 4096 and _wres_on():
         return _blockact_wres(xq, x_scale, wq, col_scale, bias, act,
                               has_bias, bk, out_dtype, interpret, gate,
                               residual)
