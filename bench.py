@@ -157,9 +157,13 @@ def _run_vae_decode():
 
 
 def _run_14b():
+    # honest config (VERDICT r4 #3): the linear compensation branch ON —
+    # reference SLA checkpoints carry a nonzero proj_l. fuse_qkv stays off
+    # at 14B: the fused (32760, 15360) bf16 QKV output is a 960 MB
+    # allocation that costs the HBM margin (r5 OOM dump).
     from turbodiffusion_tpu.config import GenerationConfig
     dt = _denoise_bench("Wan2.1-14B", GenerationConfig(),
-                        quant=True, fuse_qkv=False, linear=False, n=1)
+                        quant=True, fuse_qkv=False, linear=True, n=1)
     emit("wan2.1_14b_480p_4step_denoise", dt, frames=81)
 
 
