@@ -30,6 +30,18 @@ jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 FRAMES = int(os.environ.get("TDX_PARITY_FRAMES", "81"))
+MODEL = os.environ.get("TDX_PARITY_MODEL", "Wan2.1-1.3B")
+RES = os.environ.get("TDX_PARITY_RES", "480p")
+ONLY = os.environ.get("TDX_PARITY_ONLY", "")  # comma-sep config substrings
+
+
+def make_cfg(attn_kw, quant):
+    from turbodiffusion_tpu.config import (
+        AttentionConfig, wan_config, wan_test_config)
+    attn = AttentionConfig(**attn_kw)
+    if MODEL == "test":
+        return wan_test_config(attention=attn, quant_linear=quant)
+    return wan_config(MODEL, attention=attn, quant_linear=quant)
 
 
 def build_params(cfg, quant):
@@ -69,17 +81,17 @@ def psnr(ours, ref, peak=None):
 
 
 def main():
-    from turbodiffusion_tpu.config import (
-        AttentionConfig, GenerationConfig, wan_config)
+    from turbodiffusion_tpu.config import GenerationConfig
     from turbodiffusion_tpu.models.vae import init_vae_params, vae_decode
     from turbodiffusion_tpu.pipelines.sampler import latent_shape
 
-    gen = GenerationConfig(num_frames=FRAMES)
+    gen = GenerationConfig(num_frames=FRAMES, resolution=RES)
     C, T, H, W = latent_shape(gen)
     noise = jax.random.normal(jax.random.PRNGKey(2), (1, C, T, H, W),
                               jnp.float32)
-    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 512, 4096),
-                            jnp.bfloat16)
+    cfg0 = make_cfg(dict(backend="dense"), False)
+    ctx = jax.random.normal(jax.random.PRNGKey(1),
+                            (1, cfg0.text_len, cfg0.text_dim), jnp.bfloat16)
     vae_params = init_vae_params(jax.random.PRNGKey(3))
 
     def decode(lat):
@@ -87,7 +99,10 @@ def main():
         return np.asarray(jax.device_get(v), np.float32)
 
     # (name, attention kwargs, quant_linear, env overrides)
-    sage = dict(backend="sagesla", block_q=512, block_k=256)
+    if MODEL == "test":                     # tiny token counts: tiny blocks
+        sage = dict(backend="sagesla", block_q=8, block_k=8)
+    else:
+        sage = dict(backend="sagesla", block_q=512, block_k=256)
     CONFIGS = [
         ("dense_bf16 (golden)", dict(backend="dense"), False, {}),
         ("sagesla_i8 topk0.10", dict(sla_topk=0.1, **sage), True, {}),
@@ -107,15 +122,18 @@ def main():
          dict(sla_topk=0.1, **sage), True, {"TDX_LIN_FUSED": "0"}),
     ]
 
+    if ONLY:
+        keys = [s.strip() for s in ONLY.split(",") if s.strip()]
+        CONFIGS = [c for c in CONFIGS
+                   if any(k in c[0] for k in keys) or c[0] == CONFIGS[0][0]]
+
     results = []
     golden_lat = golden_vid = None
     for name, attn_kw, quant, env in CONFIGS:
         for k, v in env.items():
             os.environ[k] = v
         try:
-            cfg = wan_config("Wan2.1-1.3B",
-                             attention=AttentionConfig(**attn_kw),
-                             quant_linear=quant)
+            cfg = make_cfg(attn_kw, quant)
             params = build_params(cfg, quant)
             t0 = time.perf_counter()
             lat = run_denoise(cfg, gen, params, noise, ctx)

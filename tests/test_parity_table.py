@@ -1,0 +1,48 @@
+"""End-to-end quality-parity table replay (PARITY.md / VERDICT r4 #4).
+
+Runs the same table generator that produces PARITY.md's numbers
+(scripts_dev/parity_table.py) at tiny geometry on CPU: golden dense-bf16
+denoise+decode vs the accelerated attention configs, asserting the PSNR
+machinery discriminates (finite, ordered, and above a sanity floor). The
+production-geometry run of the identical script on the real chip is what
+fills PARITY.md.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_parity_table_tiny_replay(tmp_path):
+    out = str(tmp_path / "table.json")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO       # drop axon sitecustomize -> honors cpu
+    env["JAX_PLATFORMS"] = "cpu"
+    env["TDX_PARITY_MODEL"] = "test"
+    env["TDX_PARITY_FRAMES"] = "5"
+    env["TDX_PARITY_RES"] = "tiny"
+    # rows that avoid int8 GEMMs (dim 48 < one 128 quant block): the
+    # sparse-vs-dense and fused-vs-composable comparisons still exercise
+    # the full denoise+decode replay path
+    env["TDX_PARITY_ONLY"] = "bf16-GEMM,unquantized attn"
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts_dev/parity_table.py"),
+         out],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=900)
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    with open(out) as f:
+        table = json.load(f)
+    rows = table["results"]
+    assert rows[0].get("golden"), rows[0]
+    comps = [row for row in rows if "latent_psnr_db" in row]
+    assert len(comps) >= 2, rows
+    for row in comps:
+        assert "error" not in row, row
+        # random-weight tiny model, topk covering ~1 block: the sparse
+        # configs must reproduce the golden rollout to well above noise
+        assert row["latent_psnr_db"] > 10.0, row
+        assert row["video_psnr_db"] > 10.0, row

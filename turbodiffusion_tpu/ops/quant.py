@@ -198,7 +198,7 @@ def int8_gemm_postscale_pallas(xq, row_scale, wq, col_scale, bias=None,
     M, K = xq.shape
     N = wq.shape[1]
     assert K % 128 == 0, f"K={K} must be a lane multiple"
-    if M >= 4096 and _wres_on():
+    if M >= 4096 and _wres_on() and _wres_viable(K, N, min(512, N)):
         return _postscale_wres(xq, row_scale, wq, col_scale, bias, act,
                                has_bias, out_dtype, interpret, gate,
                                residual)
@@ -316,6 +316,17 @@ def _wres_on() -> bool:
     return os.environ.get("TDX_GEMM_WRES", "1") != "0"
 
 
+def _wres_viable(K: int, N: int, BN: int) -> bool:
+    """wres only when the WHOLE weight is one resident VMEM group. With
+    n_g > 1 the kernel re-streams the full (M, K) int8 activation once per
+    group — at 14B (n_g 3-4, M 32760) that is ~0.5-0.7 GB of extra HBM
+    traffic per GEMM, and the measured end-to-end 14B denoise regresses
+    16.37 -> 20.67 s (scripts_dev/probe_gemm_14b.py history, r5). Single
+    group (every 1.3B weight: <= 13.8 MB) wins: 2.057 -> 1.970 s headline."""
+    n_g, _, _ = _wres_groups(K, N, BN)
+    return n_g == 1
+
+
 def _postscale_wres(xq, row_scale, wq, col_scale, bias, act, has_bias,
                     out_dtype, interpret, gate, residual):
     """Weight-resident postscale GEMM (see _qout_wres_kernel's rationale):
@@ -417,7 +428,7 @@ def _qout_wres_kernel(xq_ref, wq_ref, rs_ref, cs_ref, bias_ref, o_ref,
         o_ref[:, n * BN:(n + 1) * BN] = jnp.round(
             out * (1.0 / scale)).astype(jnp.int8)
         scs.append(scale)
-    os_ref[...] = jnp.concatenate(scs, axis=1)
+    os_ref[0] = jnp.concatenate(scs, axis=1)
 
 
 def _wres_groups(K: int, N: int, BN: int):
@@ -454,19 +465,25 @@ def _qout_wres(xq, row_scale, wq, col_scale, bias, act, has_bias, BN,
                           refs[-2], refs[-1], nn_g=nn_g, BN=BN, act=act,
                           has_bias=has_bias)
 
-    return pl.pallas_call(
+    # scales ride a (n_g, M, nn_g) layout: a (BM, nn_g) 2D block would
+    # violate Mosaic's last-dim tiling rule when nn_g isn't the full array
+    # dim (the 14B fc1 grouping); the per-group planes fold on the host
+    # (a few KB).
+    y, ys3 = pl.pallas_call(
         kernel,
         grid=(n_g, _cdiv(M, BM)),
         in_specs=in_specs,
         out_specs=(pl.BlockSpec((BM, NG), lambda g, m: (m, g)),
-                   pl.BlockSpec((BM, nn_g), lambda g, m: (m, g))),
+                   pl.BlockSpec((1, BM, nn_g), lambda g, m: (g, m, 0))),
         out_shape=(jax.ShapeDtypeStruct((M, N), jnp.int8),
-                   jax.ShapeDtypeStruct((M, n_n), jnp.float32)),
+                   jax.ShapeDtypeStruct((n_g, M, nn_g), jnp.float32)),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*args)
+    ys = jnp.moveaxis(ys3, 0, 1).reshape(M, n_g * nn_g)[:, :n_n]
+    return y, ys
 
 
 @functools.partial(jax.jit, static_argnames=("act", "has_bias", "interpret"))
@@ -482,7 +499,7 @@ def int8_gemm_postscale_qout_pallas(xq, row_scale, wq, col_scale, bias=None,
     assert K % 128 == 0
     BN = _pick_bn_div(N)
     assert BN, f"N={N} has no lane-multiple divisor in [384, 1024]"
-    if M >= 4096 and _wres_on():
+    if M >= 4096 and _wres_on() and _wres_viable(K, N, BN):
         return _qout_wres(xq, row_scale, wq, col_scale, bias, act,
                           has_bias, BN, interpret)
     # the epilogue holds an fp32 (BM, BN) temp next to the int32 acc — BM 512
@@ -663,7 +680,7 @@ def int8_gemm_blockact_pallas(xq, x_scale, wq, col_scale, bias=None,
     N = wq.shape[1]
     assert K % bk == 0 and bk % 128 == 0
     n_k = K // bk
-    if M >= 4096 and _wres_on():
+    if M >= 4096 and _wres_on() and _wres_viable(K, N, 128):
         return _blockact_wres(xq, x_scale, wq, col_scale, bias, act,
                               has_bias, bk, out_dtype, interpret, gate,
                               residual)
