@@ -21,8 +21,10 @@ def main():
     from turbodiffusion_tpu.pipelines.sampler import latent_shape, rcm_sample
     from turbodiffusion_tpu.utils.profiling import op_time_breakdown, trace
 
+    model = os.environ.get("TDX_PROFILE_MODEL", "Wan2.1-1.3B")
+    fuse_qkv = model != "Wan2.1-14B"     # bench.py's honest 14B config
     cfg = wan_config(
-        "Wan2.1-1.3B",
+        model,
         attention=AttentionConfig(backend="sagesla", sla_topk=0.1,
                                   block_q=int(os.environ.get("TDX_PROFILE_BQ", 512)),
                                   block_k=256),
@@ -32,9 +34,29 @@ def main():
     if os.environ.get("TDX_PROFILE_720P", "0") == "1":
         gen = GenerationConfig(resolution="720p")
 
-    params = init_wan_params(jax.random.PRNGKey(0), cfg)
     from turbodiffusion_tpu.ops.quant import quantize_wan_blocks
-    params["blocks"] = quantize_wan_blocks(params["blocks"], mode="postscale")
+    if model == "Wan2.1-14B":
+        # device-side shape-faithful fill (bench.py:_denoise_bench)
+        def build():
+            p = init_wan_params(jax.random.PRNGKey(0), cfg)
+            p["blocks"] = quantize_wan_blocks(p["blocks"], mode="postscale",
+                                              fuse_qkv=fuse_qkv)
+            return p
+
+        shapes = jax.eval_shape(build)
+
+        def fill(s):
+            if s.dtype == jnp.int8:
+                return jnp.zeros(s.shape, s.dtype)
+            if s.dtype == jnp.float32 and s.ndim <= 1:
+                return jnp.ones(s.shape, s.dtype)
+            return jnp.full(s.shape, 0.01, s.dtype)
+
+        params = jax.tree.map(fill, shapes)
+    else:
+        params = init_wan_params(jax.random.PRNGKey(0), cfg)
+        params["blocks"] = quantize_wan_blocks(params["blocks"],
+                                               mode="postscale")
     C, T, H, W = latent_shape(gen)
     ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 512, 4096),
                             jnp.bfloat16)
