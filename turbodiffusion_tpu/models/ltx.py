@@ -200,7 +200,8 @@ def ltx_attention(p, x, heads: int, d_head: int, cfg: LTXConfig,
                 and "w_int8" in p["to_out"]
                 and p["to_out"]["scale"].ndim == 1
                 and _jax.default_backend() == "tpu" and d_head % 128 == 0
-                and heads * d_head <= 2048
+                # wide widths (LTX-2 video trunk: 32*128=4096) route to the
+                # head-grouped kernel inside cross_attention_qout
                 and _os.environ.get("TDX_CROSS_QOUT", "1") == "1"):
             # fused text-cross attention + per-token int8 to_out feed
             # (same kernel as the Wan cross-attn, models/wan.py)

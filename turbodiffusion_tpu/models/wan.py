@@ -194,10 +194,9 @@ def _cross_attention(p, x, context, cfg: WanConfig, img_context=None,
             and not cfg.attention.jvp_mode
             and not cfg.attention.use_reference_impl
             and _jax.default_backend() == "tpu" and Dh % 128 == 0
-            # all heads resident per program: (H, 512, Dh) K+V tiles double
-            # -buffered exceed VMEM beyond H*Dh ~ 2048 (14B: 5120 falls
-            # back to the flash one-pass + unfold path)
-            and H * Dh <= 2048
+            # narrow models run every head in one program; wider ones
+            # (14B: H*Dh=5120) take the head-grouped grid variant inside
+            # cross_attention_qout (flash_pallas._cross_attention_qout_wide)
             and _os.environ.get("TDX_CROSS_QOUT", "1") == "1"):
         # fused norm + attention + per-token int8 O-feed: the standalone
         # q-norm pass, the q planes transpose, the unfold transpose and the

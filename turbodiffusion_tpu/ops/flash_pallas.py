@@ -193,6 +193,139 @@ def _cross_attn_qout_kernel(q_ref, *rest, scale: float, kv_len: int,
     sc_ref[0] = sc
 
 
+def _cross_attn_qout_wide_kernel(q_ref, *rest, scale: float, kv_len: int,
+                                 G: int, Dh: int, fused_norm: bool):
+    """Head-GROUPED all-heads cross-attention qout (wide models; 14B: H=40).
+
+    The narrow kernel unrolls every head in one program — at H=40 the
+    per-head fp32 temps exceed the 16 MB Mosaic kernel stack (the same
+    failure as unfold_quant's, sla_fused.py:565-573). Here the grid gains an
+    innermost head-group dim: each program runs G heads against its own
+    (G, Lkp, Dh) K/V block; per-group outputs collect in a VMEM scratch
+    indexed by group id (leading-dim dynamic store — lane-dim dynamic
+    slicing is unsupported), and the LAST group program computes the
+    cross-ALL-heads per-token scale and emits the int8 O-feed, so the
+    numerics are identical to the narrow kernel's. The full-dim RMS
+    statistic arrives precomputed (sla_fused.row_rms_inv) because a program
+    only sees its group's q columns.
+
+    fused_norm=False (the LTX planes mode): q_ref is a (G, BQ, Dh)
+    head-plane block, already normed/roped — no nw/ri inputs."""
+    if fused_norm:
+        nw_ref, ri_ref, k_ref, v_ref, i8_ref, sc_ref, o_scr, amax_scr = rest
+    else:
+        k_ref, v_ref, i8_ref, sc_ref, o_scr, amax_scr = rest
+    h = pl.program_id(2)
+    n_hg = pl.num_programs(2)
+
+    @pl.when(h == 0)
+    def _():
+        amax_scr[...] = jnp.zeros_like(amax_scr)
+
+    if fused_norm:
+        xf = q_ref[0].astype(jnp.float32)               # (BQ, G*Dh)
+        xn = ((xf * ri_ref[0]).astype(q_ref.dtype)
+              * nw_ref[0].astype(q_ref.dtype))
+    outs = []
+    for g in range(G):
+        qg = xn[:, g * Dh:(g + 1) * Dh] if fused_norm else q_ref[g]
+        s = jax.lax.dot_general(qg, k_ref[g], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-20)
+        o = jax.lax.dot(p.astype(v_ref.dtype), v_ref[g],
+                        preferred_element_type=jnp.float32)
+        outs.append(o / l)
+    oG = jnp.concatenate(outs, axis=1)                  # (BQ, G*Dh) f32
+    o_scr[h] = oG
+    amax_scr[...] = jnp.maximum(
+        amax_scr[...], jnp.max(jnp.abs(oG), axis=-1, keepdims=True))
+
+    @pl.when(h == n_hg - 1)
+    def _finalize():
+        sc = jnp.maximum(amax_scr[...], 1e-8) * (1.0 / 127.0)
+        inv = 1.0 / sc
+        GD = G * Dh
+        for g2 in range(n_hg):
+            i8_ref[0, :, g2 * GD:(g2 + 1) * GD] = jnp.round(
+                o_scr[g2] * inv).astype(jnp.int8)
+        sc_ref[0] = sc
+
+
+def _cross_qout_group(H: int, Dh: int) -> int:
+    """Largest head-group size G with H % G == 0 and G*Dh <= 2048 (the
+    narrow kernel's proven per-program head budget)."""
+    G = max(1, 2048 // Dh)
+    while H % G:
+        G -= 1
+    return G
+
+
+def _cross_attention_qout_wide(q, k, v, norm_w, scale: float,
+                               eps: float, interpret: bool):
+    """Wide-model entry. q: (B, Lq, H*Dh) RAW projection output with norm_w
+    (the Wan mode: full-dim RMS precomputed via row_rms_inv), or
+    (B, Lq, H, Dh) pre-normed planes with norm_w=None (the LTX mode)."""
+    fused_norm = norm_w is not None
+    H, Dh = k.shape[2], k.shape[3]
+    HD = H * Dh
+    if fused_norm:
+        B, Lq, _ = q.shape
+    else:
+        B, Lq = q.shape[0], q.shape[1]
+    Lk = k.shape[1]
+    Lkp = _cdiv(Lk, 128) * 128
+    BQ = min(256, _cdiv(Lq, 128) * 128)
+    nQ = _cdiv(Lq, BQ)
+    G = _cross_qout_group(H, Dh)
+    n_hg = H // G
+
+    def fold(x, lp):
+        x = jnp.swapaxes(x, 1, 2).reshape(B * H, x.shape[1], Dh)
+        return jnp.pad(x, ((0, 0), (0, lp - x.shape[1]), (0, 0)))
+
+    kf, vf = fold(k, Lkp), fold(v, Lkp)
+    kv_specs = [
+        pl.BlockSpec((G, Lkp, Dh), lambda b, i, h, n=n_hg: (b * n + h, 0, 0)),
+        pl.BlockSpec((G, Lkp, Dh), lambda b, i, h, n=n_hg: (b * n + h, 0, 0)),
+    ]
+    if fused_norm:
+        from turbodiffusion_tpu.ops.sla_fused import row_rms_inv
+        ri = row_rms_inv(q, eps, interpret=interpret)       # (B, Lq, 1)
+        in_specs = [
+            pl.BlockSpec((1, BQ, G * Dh), lambda b, i, h: (b, i, h)),
+            pl.BlockSpec((1, G * Dh), lambda b, i, h: (0, h)),
+            pl.BlockSpec((1, BQ, 1), lambda b, i, h: (b, i, 0)),
+        ] + kv_specs
+        args = (q, norm_w.reshape(1, HD).astype(q.dtype), ri, kf, vf)
+    else:
+        qf = fold(q, Lq)                                    # (B*H, Lq, Dh)
+        in_specs = [
+            pl.BlockSpec((G, BQ, Dh), lambda b, i, h, n=n_hg: (b * n + h, i, 0)),
+        ] + kv_specs
+        args = (qf, kf, vf)
+    i8, sc = pl.pallas_call(
+        functools.partial(_cross_attn_qout_wide_kernel, scale=scale,
+                          kv_len=Lk, G=G, Dh=Dh, fused_norm=fused_norm),
+        grid=(B, nQ, n_hg),
+        in_specs=in_specs,
+        out_specs=(pl.BlockSpec((1, BQ, HD), lambda b, i, h: (b, i, 0)),
+                   pl.BlockSpec((1, BQ, 1), lambda b, i, h: (b, i, 0))),
+        out_shape=(jax.ShapeDtypeStruct((B, Lq, HD), jnp.int8),
+                   jax.ShapeDtypeStruct((B, Lq, 1), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((n_hg, BQ, G * Dh), jnp.float32),
+                        pltpu.VMEM((BQ, 1), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+    return i8, sc
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "interpret", "eps"))
 def cross_attention_qout(q, k, v, scale: Optional[float] = None,
                          interpret: bool = False, norm_w=None,
@@ -217,6 +350,12 @@ def cross_attention_qout(q, k, v, scale: Optional[float] = None,
         B, Lq, H, Dh = q.shape
     Lk = k.shape[1]
     scale = Dh ** -0.5 if scale is None else float(scale)
+    if H * Dh > 2048:
+        # wide models (Wan 14B: 5120; LTX-2: 4096): head-grouped grid
+        # variant — the narrow kernel's H-unrolled temps exceed the Mosaic
+        # kernel stack (raw-rows + in-kernel norm, or pre-normed planes)
+        return _cross_attention_qout_wide(q, k, v, norm_w, scale, eps,
+                                          interpret)
     Lkp = _cdiv(Lk, 128) * 128
     BQ = min(256, _cdiv(Lq, 128) * 128)
     nQ = _cdiv(Lq, BQ)

@@ -311,6 +311,15 @@ def _postscale_gemm_qout_kernel(xq_ref, wq_ref, rs_ref, cs_ref, bias_ref,
 _WRES_CAP = 24 * 1024 * 1024   # weight-resident VMEM budget (int8 bytes)
 
 
+def _wres_cap() -> int:
+    """Weight-resident VMEM budget. Default _WRES_CAP (24 MB); TDX_WRES_CAP
+    (in MB) overrides for on-chip sweeps — e.g. 26 makes a 14B (5120, 5120)
+    25 MB projection a single resident group."""
+    import os
+    v = os.environ.get("TDX_WRES_CAP")
+    return int(float(v) * 1024 * 1024) if v else _WRES_CAP
+
+
 def _wres_on() -> bool:
     import os
     return os.environ.get("TDX_GEMM_WRES", "1") != "0"
@@ -436,7 +445,7 @@ def _wres_groups(K: int, N: int, BN: int):
     (K, NG) int8 weight group fits the VMEM budget. The last group may
     overhang N — Pallas masks the out-of-bounds block region."""
     n_n = _cdiv(N, BN)
-    nn_g = max(1, min(n_n, _WRES_CAP // (K * BN)))
+    nn_g = max(1, min(n_n, _wres_cap() // (K * BN)))
     n_g = _cdiv(n_n, nn_g)
     return n_g, nn_g, nn_g * BN
 
@@ -504,11 +513,19 @@ def int8_gemm_postscale_qout_pallas(xq, row_scale, wq, col_scale, bias=None,
                           has_bias, BN, interpret)
     # the epilogue holds an fp32 (BM, BN) temp next to the int32 acc — BM 512
     # keeps the worst case (BN 896 + double-buffered int8 ins) under the
-    # 16 MB scoped-vmem limit
-    BM = min(512, max(8, M))
+    # 16 MB scoped-vmem limit. TDX_QOUT_BM sweeps taller M-tiles (fewer
+    # weight re-fetches — the 14B fc1 streams its 70 MB weight once per
+    # M-tile) with the vmem limit raised to match.
+    import os as _os
+    BM0 = int(_os.environ.get("TDX_QOUT_BM", "512"))
+    BM = min(BM0, max(8, M))
     BK = _pick_bk(K)
     n_k = K // BK
     grid = (_cdiv(M, BM), N // BN, n_k)
+    cparams = dict(dimension_semantics=("parallel", "arbitrary",
+                                        "arbitrary"))
+    if BM > 512:
+        cparams["vmem_limit_bytes"] = 64 * 1024 * 1024
 
     in_specs = [
         pl.BlockSpec((BM, BK), lambda m, n, k: (m, k)),
@@ -540,8 +557,7 @@ def int8_gemm_postscale_qout_pallas(xq, row_scale, wq, col_scale, bias=None,
                    jax.ShapeDtypeStruct((M, n_n), jnp.float32)),
         scratch_shapes=[pltpu.VMEM((BM, n_n), jnp.float32),
                         pltpu.VMEM((BM, BN), jnp.int32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary")),
+        compiler_params=pltpu.CompilerParams(**cparams),
         interpret=interpret,
     )(*args)
     return y, ys
