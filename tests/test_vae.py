@@ -72,3 +72,21 @@ def test_encode_decode_roundtrip_shape(vae_params):
     assert recon.shape == video.shape
 
 
+
+
+def test_decode_pad128_equivalence():
+    """Lane-padding the 96-channel decode stage to 128 (_pad_decoder_c96)
+    must be numerically exact: padded input channels are identically zero
+    and the channel-RMS sqrt(C) factor is folded into the fp32 gamma. Run
+    at the REAL channel widths (dim=96 — the tiny test config never hits
+    the padded stage) on a small spatial grid."""
+    from turbodiffusion_tpu.models.vae import _vae_decode
+
+    cfg = VAEConfig(dtype=jnp.float32)          # real widths, fp32
+    params = init_vae_params(jax.random.PRNGKey(5), cfg)
+    z = jax.random.normal(jax.random.PRNGKey(6), (1, 16, 3, 6, 6))
+    ref = _vae_decode(params, z, chunk=2, pad128=False)
+    got = _vae_decode(params, z, chunk=2, pad128=True)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

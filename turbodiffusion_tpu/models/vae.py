@@ -99,6 +99,52 @@ def _fast_params(tree):
     return fix(tree)
 
 
+def _pad_decoder_c96(dec, head=False):
+    """Zero-pad every 96-channel decoder tensor to 128 lanes (the MXU lane
+    width). Opt-in (TDX_VAE_PAD128=1): the per-tap conv win is real
+    (55.0 -> 46.9 ms on-chip, scripts_dev/probe_vae_pad128_2dtap.py) but
+    the END-TO-END decode loses (3.298 s vs 3.213 s, bench r5): the finest
+    stage's norm/residual/cache elementwise traffic grows 4/3x with the
+    padded channels and outweighs the ~146 ms of conv savings. Kept as a
+    measured experiment: a consumer that is conv-dominated at C=96 (e.g.
+    batched decode) can flip it on.
+
+    Exactness: padded input channels are identically zero (zero weight rows
+    + zero bias), so conv outputs and the channel-RMS statistic are
+    unchanged; the norm's sqrt(C) factor is corrected by folding
+    sqrt(96/128) into the padded gamma (kept fp32 so the fold costs no
+    precision). Runs on the channels-last fast layout, once per call."""
+    def pad_w(w):
+        # (kh, kw, I, O) or (kt, kh, kw, I, O)
+        cfg = [(0, 0)] * w.ndim
+        changed = False
+        for ax in (w.ndim - 2, w.ndim - 1):
+            if w.shape[ax] == 96:
+                cfg[ax] = (0, 32)
+                changed = True
+        return jnp.pad(w, cfg) if changed else w
+
+    def fix(d):
+        if isinstance(d, dict):
+            out = {}
+            for k, v in d.items():
+                isarr = getattr(v, "ndim", None) is not None
+                if isarr and k == "gamma" and v.shape[0] == 96:
+                    g = v.astype(jnp.float32) * float(np.sqrt(96 / 128))
+                    out[k] = jnp.pad(g, [(0, 32)] + [(0, 0)] * (v.ndim - 1))
+                elif isarr and k == "w":
+                    out[k] = pad_w(v)
+                elif isarr and k == "b" and v.shape[-1] == 96:
+                    out[k] = jnp.pad(v, (0, 32))
+                else:
+                    out[k] = fix(v)
+            return out
+        if isinstance(d, list):
+            return [fix(v) for v in d]
+        return d
+    return fix(dec)
+
+
 def _conv2d_cl(w, b, x, stride=(1, 1), pad="same"):
     """NHWC conv; w: (kh, kw, I, O). pad='same' centers odd kernels."""
     kh, kw = w.shape[0], w.shape[1]
@@ -364,15 +410,18 @@ def vae_decode(params, z, chunk: Optional[int] = None):
     outside the scan."""
     if chunk is None:
         chunk = _auto_chunk(z.shape[2] - 1, z.shape[3], z.shape[4])
-    return _vae_decode(params, z, chunk)
+    pad128 = os.environ.get("TDX_VAE_PAD128", "0") == "1"
+    return _vae_decode(params, z, chunk, pad128)
 
 
-@functools.partial(jax.jit, static_argnames=("chunk",))
-def _vae_decode(params, z, chunk: int = 1):
+@functools.partial(jax.jit, static_argnames=("chunk", "pad128"))
+def _vae_decode(params, z, chunk: int = 1, pad128: bool = False):
     mean, std = _latent_scale()
     z = z.astype(jnp.float32) * std + mean
     dtype = params["conv2"]["w"].dtype
     params = _fast_params(params)
+    if pad128:
+        params["decoder"] = _pad_decoder_c96(params["decoder"])
     x = jnp.moveaxis(z.astype(dtype), 1, -1)            # (B, T, h, w, C)
     x = _conv1_cl(params["conv2"], x)                   # 1x1x1 (z -> z)
 

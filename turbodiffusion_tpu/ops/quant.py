@@ -202,11 +202,21 @@ def int8_gemm_postscale_pallas(xq, row_scale, wq, col_scale, bias=None,
         return _postscale_wres(xq, row_scale, wq, col_scale, bias, act,
                                has_bias, out_dtype, interpret, gate,
                                residual)
+    # N-tile: 1024 on wide weights (14B 5120x5120 projections measured
+    # 15.01 -> 14.87 s end-to-end vs BN 512 — fewer weight revisits per
+    # M-row and deeper MXU pipelining), 512 otherwise; TDX_PS_BN overrides.
+    import os as _os
     BM = min(1024, max(8, M))
-    BN = min(512, N)
+    BN0 = int(_os.environ.get("TDX_PS_BN", "0")) or \
+        (1024 if N >= 4096 else 512)
+    BN = min(BN0, N)
     BK = _pick_bk(K)
     n_k = K // BK
     grid = (_cdiv(M, BM), _cdiv(N, BN), n_k)
+    cparams = dict(dimension_semantics=("parallel", "parallel",
+                                        "arbitrary"))
+    if BN > 512:
+        cparams["vmem_limit_bytes"] = 64 * 1024 * 1024
 
     in_specs = [
         pl.BlockSpec((BM, BK), lambda m, n, k: (m, k)),
@@ -247,8 +257,7 @@ def int8_gemm_postscale_pallas(xq, row_scale, wq, col_scale, bias=None,
         out_specs=pl.BlockSpec((BM, BN), lambda m, n, k: (m, n)),
         out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
         scratch_shapes=[pltpu.VMEM((BM, BN), jnp.int32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        compiler_params=pltpu.CompilerParams(**cparams),
         interpret=interpret,
     )(*args)
 
@@ -511,13 +520,15 @@ def int8_gemm_postscale_qout_pallas(xq, row_scale, wq, col_scale, bias=None,
     if M >= 4096 and _wres_on() and _wres_viable(K, N, BN):
         return _qout_wres(xq, row_scale, wq, col_scale, bias, act,
                           has_bias, BN, interpret)
-    # the epilogue holds an fp32 (BM, BN) temp next to the int32 acc — BM 512
-    # keeps the worst case (BN 896 + double-buffered int8 ins) under the
-    # 16 MB scoped-vmem limit. TDX_QOUT_BM sweeps taller M-tiles (fewer
-    # weight re-fetches — the 14B fc1 streams its 70 MB weight once per
-    # M-tile) with the vmem limit raised to match.
+    # M-tile: 1024 at long-M shapes (the 14B fc1 streams its 70 MB weight
+    # once per M-tile — 512-row tiles made it weight-fetch-bound, 74% MXU;
+    # 1024 measured 16.4 -> 15.0 s on the 14B denoise with the vmem limit
+    # raised to match); 512 keeps the worst narrow case (BN 896 +
+    # double-buffered int8 ins) under the default 16 MB scoped-vmem limit.
+    # TDX_QOUT_BM overrides for sweeps.
     import os as _os
-    BM0 = int(_os.environ.get("TDX_QOUT_BM", "512"))
+    BM0 = int(_os.environ.get("TDX_QOUT_BM", "0")) or \
+        (1024 if M >= 16384 else 512)
     BM = min(BM0, max(8, M))
     BK = _pick_bk(K)
     n_k = K // BK
